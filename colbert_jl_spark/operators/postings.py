@@ -1,0 +1,106 @@
+"""Inverted-index posting construction — the engine's I-layer (SURVEY.md §2.6).
+
+The analogue of the reference's ``_build_ivf``
+(reference src/indexing/collection_indexer.jl:349-353: group embedding ids
+by centroid into CSR runs) re-grounded as: group ``(term, doc_id, tf)``
+postings by term into docid-sorted runs.
+
+Pipeline shape (all Catalyst, zero Python):
+
+1. ``term_postings``: docs → explode(terms) → groupBy(term, doc_id).count()
+   — the SPIMI in-partition step. Spark's hash aggregate does map-side
+   partial aggregation, so each input partition emits each (term, doc_id)
+   pair once — exactly the reference's per-chunk encode+compress pass
+   (collection_indexer.jl:271-297) without a driver loop.
+2. ``term_df``: dictionary (term, df, cf) — the analogue of ivf_lengths.
+3. ``posting_lists``: docid-sorted run per term. Head-term skew (Zipf: "the"
+   touches ~every doc) would funnel one reducer per head term, so the merge
+   is SALTED two-stage (SURVEY.md §4 Skew): stage 1 groups (term, salt)
+   building sorted sub-runs, stage 2 merges ≤salt_buckets runs per term.
+   AQE only splits skewed *joins*, not aggregations — this is job
+   structure the engine must own.
+
+Scale notes: stage 1's groupBy(term, salt) spreads any single term over
+``salt_buckets`` reducers; stage 2 shuffles one row per (term, salt) — tiny.
+The posting arrays themselves are bounded by block compression downstream
+(operators/codec_blocks.py splits runs into 128-doc blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.functions.tokenizer import terms_col
+
+
+def term_postings(docs: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """(term, doc_id, tf) — one row per distinct term per doc.
+
+    tf counts occurrences within the (truncated, stoplisted) token stream —
+    the BM25 analogue of 'one embedding per kept token'
+    (reference src/modelling/checkpoint.jl:99-104).
+    """
+    return (
+        docs.select("doc_id", F.explode(terms_col("text", cfg.doc_maxlen, cfg.stopwords)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_df(postings: DataFrame) -> DataFrame:
+    """Dictionary: (term, df, cf). df = #docs containing term, cf = total
+    occurrences. Analogue of ivf_lengths (collection_indexer.jl:352-353)."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def posting_lists(
+    postings: DataFrame, cfg: EngineConfig = EngineConfig(), salted: bool = True
+) -> DataFrame:
+    """(term, df, postings: array<struct<doc_id, tf>>) with postings sorted
+    by doc_id ascending — the CSR run the reference builds with
+    ``sortperm(codes)`` (collection_indexer.jl:349-353).
+
+    ``salted=True`` runs the two-stage skew-safe merge; ``salted=False`` is
+    the naive single groupBy used by tests to verify the salted path is
+    result-identical (FIXTURES.md §6 Skew fixture).
+    """
+    entry = F.struct(F.col("doc_id"), F.col("tf"))
+    if not salted:
+        return postings.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list(entry)).alias("postings"),
+        )
+
+    s = cfg.salt_buckets
+    # stage 1: (term, salt) → sorted sub-run. Any head term fans out over s
+    # reducers instead of melting one.
+    sub = (
+        postings.withColumn("salt", (F.col("doc_id") % s).cast("int"))
+        .groupBy("term", "salt")
+        .agg(
+            F.count("*").alias("sub_df"),
+            F.sort_array(F.collect_list(entry)).alias("sub_run"),
+        )
+    )
+    # stage 2: ≤s rows per term → flatten + final sort. The final
+    # sort_array over the concatenated runs is O(df log df) per term but on
+    # pre-sorted runs; at true web scale runs go straight to the block
+    # codec per-salt-slice instead (codec blocks are independent), so this
+    # concat materializes only for the array-output API.
+    return sub.groupBy("term").agg(
+        F.sum("sub_df").alias("df"),
+        F.sort_array(F.flatten(F.collect_list("sub_run"))).alias("postings"),
+    )
+
+
+def build_postings(
+    docs: DataFrame, cfg: EngineConfig = EngineConfig()
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Convenience: (postings, dictionary, posting_lists) triple."""
+    p = term_postings(docs, cfg)
+    return p, term_df(p), posting_lists(p, cfg)

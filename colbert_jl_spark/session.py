@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Centralizes the session configuration so tests, bench.py and the driver
+entry all agree: AQE on (runtime re-plan + skew-join splitting), Arrow on
+(every Python crossing is a vectorized Arrow batch, never per-row), and a
+shuffle-partition count sized to the local core count. On a real cluster
+these are spark-submit --conf values; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "colbert_jl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    bench.py overrides it to run the identical job at two parallelism
+    levels for the scaling-efficiency evidence (BASELINE.json north_rule).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # one shuffle partition per core locally; on a cluster this is
+        # sized to total executor cores (AQE coalesces small ones anyway)
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
