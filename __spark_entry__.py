@@ -79,7 +79,7 @@ scores AS (
 SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score
 FROM (
   SELECT qid, doc_id, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM scores
 )
 WHERE rank <= {CFG.top_k}
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     base = {
         "bm25_topk": q_bm25_topk,
+        "wand_topk": q_wand_topk,
         "docstats": q_docstats,
         "term_df": q_term_df,
         "postings": q_postings,
@@ -151,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     base = {
         "bm25_topk": _BM25_SQL,
+        # WAND is pruned but rank-identical by construction → same oracle
+        "wand_topk": _BM25_SQL,
         "docstats": f"WITH {_DOC_TOK_CTE} SELECT doc_id, doclen FROM docstats",
         "term_df": f"WITH {_DOC_TOK_CTE} SELECT term, df, cf FROM dict",
         "postings": f"WITH {_DOC_TOK_CTE} SELECT term, doc_id, tf FROM tf",

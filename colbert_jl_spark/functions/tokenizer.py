@@ -46,16 +46,24 @@ def _extract_text_bytes(html: bytes | None) -> str | None:
     return _TAG_RE.sub(b" ", html).decode("utf-8", errors="replace").strip()
 
 
-@F.pandas_udf("string")
-def extract_text(html: pd.Series) -> pd.Series:
+def _extract_text_batch(html: pd.Series) -> pd.Series:
+    return html.map(_extract_text_bytes)
+
+
+def extract_text(html: Column | str) -> Column:
     """Vectorized Arrow UDF: html binary → extracted text.
 
     One Arrow batch per call (the analogue of the reference's
     ``index_bsize`` batched encode loop,
     reference src/modelling/checkpoint.jl:159-189) — pandas applies the
-    byte-level inverse of the page template per batch.
+    byte-level inverse of the page template per batch. The UDF is built
+    lazily so importing this module never needs a live SparkSession.
     """
-    return html.map(_extract_text_bytes)
+    from pyspark.sql.types import StringType
+
+    udf = F.pandas_udf(_extract_text_batch, StringType())
+    col = F.col(html) if isinstance(html, str) else html
+    return udf(col)
 
 
 # --------------------------------------------------------------------------

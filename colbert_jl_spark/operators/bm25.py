@@ -96,8 +96,14 @@ def topk(scores: DataFrame, k: int = 10) -> DataFrame:
     (score desc, doc_id asc) required for rank identity (FIXTURES.md §3).
 
     Ranking window = Spark's per-partition partial top-k + merge; the
-    analogue of reference _topk (src/utils.jl:327-332)."""
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    analogue of reference _topk (src/utils.jl:327-332).
+
+    Ordering uses the ROUNDED score (6dp) so rank is invariant to the
+    ±1-ulp float jitter different summation orders produce — the same
+    rounding the cross-engine hash compare sees."""
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

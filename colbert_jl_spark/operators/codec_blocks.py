@@ -1,0 +1,126 @@
+"""Posting-block construction: posting stream → compressed block table.
+
+The distributed analogue of the reference's chunked compress+save loop
+(reference src/indexing/collection_indexer.jl:271-297 per-chunk
+encode→compress→save_chunk; src/indexing/codecs/residual.jl:586-604
+``compress``): each (term, doc-bucket) group packs its docid-sorted run
+into fixed-size blocks with skip pointers (first/last docid) and exact
+block-max score metadata — the index layout block-max WAND consumes.
+
+Scale/skew design:
+
+* Docs are range-bucketed (``bucket = doc_id // bucket_size``) BEFORE the
+  term grouping, so a head term (Zipf: df ≈ N) fans out over
+  ``n_buckets`` independent groups instead of melting one reducer — the
+  salted-merge shape from SURVEY.md §4 with RANGE salt, which keeps every
+  block's docid span disjoint per (term, bucket) and globally mergeable
+  by first_docid.
+* Block encode runs in ``applyInPandas`` (Arrow batches, numpy codec) —
+  the only Python in the build, vectorized end to end.
+* The block table is written partitioned by ``term_bucket =
+  pmod(xxhash64(term), P)`` so query-time term lookups prune to P⁻¹ of
+  the files (the engine's analogue of the reference reading only nprobe
+  of K centroid lists, reference src/search/ranking.jl:30-36).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.functions.codec import block_max_score, encode_block
+from colbert_jl_spark.functions.tokenizer import terms_col
+
+BLOCK_SCHEMA = (
+    "term string, df long, idf double, bucket long, block_id long, "
+    "first_docid long, last_docid long, n_docs long, max_score double, "
+    "payload binary"
+)
+
+
+def term_postings_with_doclen(docs: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """(term, doc_id, tf, doclen) — doclen computed inline from the same
+    term array (no doc-side join; doclen is functionally dependent on
+    doc_id so grouping by it is free)."""
+    terms = terms_col("text", cfg.doc_maxlen, cfg.stopwords)
+    return (
+        docs.select("doc_id", terms.alias("terms"))
+        .withColumn("doclen", F.size("terms"))
+        .select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _make_block_encoder(block_size: int, n_docs: int, avgdl: float, k1: float, b: float):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        df_val = int(pdf["df"].iloc[0])
+        idf = float(pdf["idf"].iloc[0])
+        docids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["doclen"].to_numpy(dtype=np.int64)
+        rows = []
+        for i, start in enumerate(range(0, len(docids), block_size)):
+            sl = slice(start, start + block_size)
+            d, t, l = docids[sl], tfs[sl], dls[sl]
+            rows.append(
+                {
+                    "term": term,
+                    "df": df_val,
+                    "idf": idf,
+                    "bucket": bucket,
+                    "block_id": i,
+                    "first_docid": int(d[0]),
+                    "last_docid": int(d[-1]),
+                    "n_docs": len(d),
+                    "max_score": block_max_score(t, l, idf, avgdl, k1, b),
+                    "payload": encode_block(d, t, l),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode_group
+
+
+def posting_blocks(
+    postings_dl: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig = EngineConfig(),
+    bucket_size: int | None = None,
+) -> DataFrame:
+    """postings (term, doc_id, tf, doclen) + dictionary (term, df) →
+    block table (BLOCK_SCHEMA).
+
+    ``bucket_size`` defaults to ceil(n_docs / num_index_partitions) —
+    the plan-derived chunk sizing, analogue of setup()'s num_chunks math
+    (reference src/indexing/collection_indexer.jl:130-133).
+    """
+    if bucket_size is None:
+        bucket_size = max(1, -(-n_docs // cfg.num_index_partitions))
+    from colbert_jl_spark.operators.bm25 import idf_col
+
+    dict_idf = dictionary.select(
+        "term", "df", idf_col(F.col("df"), n_docs).alias("idf")
+    )
+    enriched = postings_dl.join(dict_idf, "term").withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_size)).cast("long")
+    )
+    encoder = _make_block_encoder(cfg.block_size, n_docs, avgdl, cfg.k1, cfg.b)
+    return enriched.groupBy("term", "bucket").applyInPandas(encoder, BLOCK_SCHEMA)
+
+
+def with_term_partition(blocks: DataFrame, num_partitions: int = 64) -> DataFrame:
+    """Add the term_bucket partition column used for on-disk pruning."""
+    return blocks.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_partitions)).cast("int")
+    )

@@ -1,0 +1,267 @@
+"""Block-max WAND top-k executor over the compressed posting-block table.
+
+The engine's query path (SURVEY.md §2.7 / §7 Stage 5) — the pruned
+replacement for the exhaustive scorer, the analogue of the reference's
+retrieve→gather→decompress→maxsim→top-k chain
+(reference src/search/ranking.jl:23-86, src/searching.jl:93-128), with the
+crucial upgrade the reference lacks (noted at SURVEY.md §3.2): candidates
+whose score upper bound cannot reach the current top-k threshold are
+skipped WITHOUT decoding their blocks.
+
+Distribution shape:
+
+    blocks ⋈ broadcast(query terms)          -- posting fetch, the nprobe
+                                                analogue (ranking.jl:30-36);
+                                                term filter prunes the scan
+    groupBy(qid, bucket) → applyInPandas     -- independent WAND per doc
+                                                range; doc buckets PARTITION
+                                                docs so per-bucket top-k
+                                                merge is exact
+    window rank ≤ k over (qid)               -- final top-k merge
+
+Rank identity with the exhaustive oracle (operators/bm25.py) is guaranteed
+by (a) identical float64 scoring expression, (b) a pruning margin wider
+than the 6-decimal rounding granularity (no candidate that could round-tie
+with the kth score is ever pruned), (c) the shared total tie-break
+(rounded score desc, doc_id asc). Gated by tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.functions.codec import decode_block
+
+_INF = np.iinfo(np.int64).max
+# wider than the 0.5e-6 rounding half-step of the 6-decimal output, so
+# pruning can never drop a candidate that would round-tie into the top-k
+_MARGIN = 5e-6
+
+WAND_OUT_SCHEMA = "qid long, doc_id long, score double"
+
+
+class _TermCursor:
+    """Lazy cursor over one term's block list (docid-sorted, disjoint)."""
+
+    __slots__ = (
+        "qtf", "idf", "firsts", "lasts", "maxes", "payloads",
+        "bi", "docids", "tfs", "dls", "pos", "ub",
+    )
+
+    def __init__(self, qtf: float, idf: float, blocks: pd.DataFrame):
+        blocks = blocks.sort_values("first_docid")
+        self.qtf = qtf
+        self.idf = idf
+        self.firsts = blocks["first_docid"].to_numpy(dtype=np.int64)
+        self.lasts = blocks["last_docid"].to_numpy(dtype=np.int64)
+        self.maxes = blocks["max_score"].to_numpy(dtype=np.float64)
+        self.payloads = blocks["payload"].tolist()
+        self.bi = 0
+        self.docids = None
+        self.pos = 0
+        # global term upper bound (WAND U_t); block maxima refine it (BMW)
+        self.ub = qtf * float(self.maxes.max()) if len(self.maxes) else 0.0
+        self._ensure_decoded()
+
+    def _ensure_decoded(self) -> None:
+        if self.docids is None and self.bi < len(self.payloads):
+            d, t, l = decode_block(self.payloads[self.bi])
+            self.docids, self.tfs, self.dls = d, t, l
+            self.pos = 0
+
+    def cur(self) -> int:
+        if self.bi >= len(self.payloads):
+            return _INF
+        self._ensure_decoded()
+        return int(self.docids[self.pos])
+
+    def shallow_seek(self, target: int) -> None:
+        """Advance the BLOCK pointer (no decode) until last_docid >= target."""
+        while self.bi < len(self.payloads) and self.lasts[self.bi] < target:
+            self.bi += 1
+            self.docids = None
+
+    def block_ub(self) -> float:
+        """qtf-scaled max score of the current block (exact bound)."""
+        if self.bi >= len(self.payloads):
+            return 0.0
+        return self.qtf * float(self.maxes[self.bi])
+
+    def block_last(self) -> int:
+        if self.bi >= len(self.payloads):
+            return _INF
+        return int(self.lasts[self.bi])
+
+    def next_geq(self, target: int) -> None:
+        self.shallow_seek(target)
+        if self.bi >= len(self.payloads):
+            return
+        self._ensure_decoded()
+        self.pos = int(np.searchsorted(self.docids, target, side="left"))
+        if self.pos >= len(self.docids):  # defensive; lasts guard prevents this
+            self.bi += 1
+            self.docids = None
+            self._ensure_decoded()
+
+    def score_and_advance(self, k1: float, b: float, avgdl: float) -> float:
+        """Exact partial at the cursor (same float64 expression as the
+        oracle: qtf * idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)))."""
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        k_norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = self.qtf * self.idf * (tf * (k1 + 1.0)) / (tf + k_norm)
+        self.pos += 1
+        if self.pos >= len(self.docids):
+            self.bi += 1
+            self.docids = None
+            self._ensure_decoded()
+        return s
+
+
+def _wand_one_group(
+    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float
+) -> pd.DataFrame:
+    qid = int(pdf["qid"].iloc[0])
+    cursors: list[_TermCursor] = []
+    for term, grp in pdf.groupby("term", sort=False):
+        cursors.append(
+            _TermCursor(float(grp["qtf"].iloc[0]), float(grp["idf"].iloc[0]), grp)
+        )
+
+    heap: list[float] = []  # k best raw scores (min-heap)
+    scored: dict[int, float] = {}
+    theta = -np.inf
+
+    while True:
+        cursors.sort(key=lambda c: c.cur())
+        while cursors and cursors[-1].cur() == _INF:
+            cursors.pop()
+        if not cursors:
+            break
+        # --- pivot selection (classic WAND with global U_t) ---
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc >= theta - _MARGIN:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # even the full sum can't reach the threshold
+        pivot_doc = cursors[pivot_idx].cur()
+        # extend the pivot over every cursor already aligned at pivot_doc —
+        # they all contribute to its score, so the block-max bound below
+        # must include them or it undercounts and over-prunes
+        while (
+            pivot_idx + 1 < len(cursors)
+            and cursors[pivot_idx + 1].cur() == pivot_doc
+        ):
+            pivot_idx += 1
+
+        # --- block-max refinement (BMW): exact current-block bounds ---
+        # NOTE: shallow_seek advances block pointers (and may advance a
+        # cursor's cur() past skipped blocks), which STALES the sort above.
+        # Every decision below must therefore use the true minimum cursor,
+        # never cursors[0].
+        head = cursors[: pivot_idx + 1]
+        for c in head:
+            c.shallow_seek(pivot_doc)
+        block_sum = sum(c.block_ub() for c in head)
+        lagging = min(head, key=lambda c: c.cur())
+        if block_sum < theta - _MARGIN:
+            # skip past the tightest block boundary — no decode happened
+            next_doc = min(c.block_last() for c in head) + 1
+            if pivot_idx + 1 < len(cursors):
+                next_doc = min(next_doc, cursors[pivot_idx + 1].cur())
+            next_doc = max(next_doc, pivot_doc + 1)
+            lagging.next_geq(next_doc)
+            continue
+
+        if lagging.cur() == pivot_doc:
+            # NO cursor is below the pivot — fully score the pivot doc
+            s = 0.0
+            for c in cursors:
+                if c.cur() == pivot_doc:
+                    s += c.score_and_advance(k1, b, avgdl)
+            scored[pivot_doc] = s
+            if len(heap) < k:
+                heapq.heappush(heap, s)
+            elif s > heap[0]:
+                heapq.heapreplace(heap, s)
+            if len(heap) == k:
+                theta = heap[0]
+        else:
+            lagging.next_geq(pivot_doc)
+
+    if not scored:
+        return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    cutoff = (theta if len(heap) == k else -np.inf) - _MARGIN
+    items = [(d, s) for d, s in scored.items() if s >= cutoff]
+    return pd.DataFrame(
+        {"qid": qid, "doc_id": [d for d, _ in items], "score": [s for _, s in items]}
+    )
+
+
+def wand_topk(
+    blocks: DataFrame,
+    qterms: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    avgdl: float = 1.0,
+    k: int | None = None,
+) -> DataFrame:
+    """blocks (codec_blocks.BLOCK_SCHEMA) × qterms (qid, term, qtf) →
+    (qid, rank, doc_id, score[rounded 6dp]).
+
+    qterms is tiny → broadcast; the join's term equi-condition is what
+    Catalyst pushes into the block-table scan (partition pruning on
+    term_bucket + min/max on term).
+    """
+    k = k or cfg.top_k
+    matched = blocks.join(F.broadcast(qterms), "term")
+    per_bucket = matched.groupBy("qid", "bucket").applyInPandas(
+        lambda pdf: _wand_one_group(pdf, k, cfg.k1, cfg.b, avgdl),
+        WAND_OUT_SCHEMA,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        per_bucket.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def wand_topk_inline(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+) -> DataFrame:
+    """End-to-end: build the block index in-flight, then run WAND.
+
+    The persisted-index path (plans/build.py) writes the same block table
+    to parquet and reads it back; this inline variant keeps the whole plan
+    lazy for the correctness gate."""
+    from colbert_jl_spark.operators.bm25 import query_terms
+    from colbert_jl_spark.operators.codec_blocks import (
+        posting_blocks,
+        term_postings_with_doclen,
+    )
+    from colbert_jl_spark.operators.docstats import corpus_stats, doclens
+    from colbert_jl_spark.operators.postings import term_df
+
+    stats = corpus_stats(doclens(docs, cfg))
+    pdl = term_postings_with_doclen(docs, cfg)
+    dictionary = term_df(pdl.select("term", "doc_id", "tf"))
+    blocks = posting_blocks(pdl, dictionary, stats["n_docs"], stats["avgdl"], cfg)
+    qt = query_terms(queries, cfg)
+    return wand_topk(blocks, qt, cfg, stats["avgdl"])
