@@ -163,12 +163,336 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# Extension registry — further operators append here as they land.
+# Training-data pipeline operators: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, cfg=CFG)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at threshold 0.8. Banding (16x4) has
+    ~certain recall at jaccard >= 0.8, so the EXACT-jaccard SQL is a valid
+    oracle — any miss is a real bug, not LSH variance."""
+    from colbert_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, cfg=CFG)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs (Hamming <= 3). xxhash64-based → no DuckDB
+    equivalent; driver records the rows-only check, pytest gates content."""
+    from colbert_jl_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, cfg=CFG)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        _embeddings(spark, sf_dir)
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qembedding"))
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embeddings(spark, sf_dir), _query_vecs(spark, sf_dir), k=5)
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check; recall vs the
+    brute-force oracle is gated in tests/test_similarity.py)."""
+    from colbert_jl_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_embeddings(spark, sf_dir), _query_vecs(spark, sf_dir), k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.operators.similarity import brute_force_neardup_pairs
+
+    return brute_force_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.functions.text_quality import lang_id_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_col("text").alias("lang_pred")
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.functions.text_quality import quality_score_col, token_counts
+
+    d = _docs(spark, sf_dir)
+    counts = token_counts("text")
+    return d.select(
+        "doc_id",
+        counts["n_tokens"].alias("n_tokens"),
+        counts["n_ws_tokens"].alias("n_ws_tokens"),
+        counts["n_chars"].alias("n_chars"),
+        quality_score_col("text").alias("quality"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_jl_spark.functions.text_quality import fingerprint_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_col("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage demos (SURVEY §2.8 shapes: agg, join, top-k)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL for the extension operators
+# ---------------------------------------------------------------------------
+
+from colbert_jl_spark.functions.text_quality import LANG_MARKERS  # noqa: E402
+
+_RAW_TOK_CTE = f"""
+rawtok AS (
+  SELECT doc_id,
+         (list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> ''))[1:{CFG.doc_maxlen}] AS toks
+  FROM documents
+)
+"""
+
+_SHINGLE_CTE = f"""
+WITH {_RAW_TOK_CTE},
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(toks) - 3, -1) + 1),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+    FROM rawtok WHERE len(toks) >= 3)
+),
+sdf AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+_LANG_CASE = " ".join(
+    # priority en > de > es > fr on ties (mirrors lang_id_col's reversed loop)
+    [
+        f"WHEN v_{lang} >= 1 AND "
+        + " AND ".join(
+            f"v_{lang} >= v_{other}"
+            for other in list(LANG_MARKERS)[i + 1 :]
+        )
+        + f" THEN '{lang}'"
+        if i + 1 < len(LANG_MARKERS)
+        else f"WHEN v_{lang} >= 1 THEN '{lang}'"
+        for i, lang in enumerate(LANG_MARKERS)
+    ]
+)
+
+_LANG_VOTES_SQL = ", ".join(
+    "len(list_filter(toks, x -> x IN ("
+    + ", ".join(f"'{m}'" for m in markers)
+    + f"))) AS v_{lang}"
+    for lang, markers in LANG_MARKERS.items()
+)
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_cosine": q_knn_cosine,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_top_customers": q_join_top_customers,
+    }
 
 
 def _extra_oracles() -> dict[str, str]:
-    return {}
+    return {
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS text_hash,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": _SHINGLE_CTE
+        + "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5",
+        # LSH banding (16x4) recall at jaccard>=0.8 is ~1 - 1e-7 → the
+        # exact computation IS the oracle
+        "dedup_minhash_lsh": _SHINGLE_CTE
+        + "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8",
+        "knn_cosine": """
+            WITH q AS (
+              SELECT vec_id AS qvec_id, CAST(embedding AS DOUBLE[]) AS qemb
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.qvec_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qemb) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.qvec_id
+            )
+            SELECT qvec_id, CAST(rank AS INTEGER) AS rank, vec_id,
+                   round(cos, 6) AS cosine
+            FROM (
+              SELECT qvec_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY qvec_id
+                                        ORDER BY round(cos, 6) DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "lang_id": f"""
+            WITH {_RAW_TOK_CTE},
+            votes AS (SELECT doc_id, {_LANG_VOTES_SQL} FROM rawtok)
+            SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred FROM votes
+        """,
+        "quality": f"""
+            WITH {_RAW_TOK_CTE},
+            m AS (
+              SELECT r.doc_id,
+                     CAST(len(r.toks) AS INTEGER) AS n_tokens,
+                     CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                          x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+                     CAST(length(d.text) AS INTEGER) AS n_chars,
+                     len(list_filter(r.toks, x -> x IN ({_STOP_LIST_SQL}))) AS n_stop,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(r.toks, t -> CAST(length(t) AS BIGINT))),
+                                 (a, b) -> a + b) AS sum_len
+              FROM rawtok r JOIN documents d USING (doc_id)
+            ),
+            bands AS (
+              SELECT doc_id, n_tokens, n_ws_tokens, n_chars,
+                     CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN n_tokens > 0 THEN sum_len * 1.0 / n_tokens ELSE 0.0 END AS mean_len
+              FROM m
+            )
+            SELECT doc_id, n_tokens, n_ws_tokens, n_chars,
+                   round((
+                     (CASE WHEN n_tokens >= 20 THEN 1.0 WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN stop_ratio >= 0.05 AND stop_ratio <= 0.6 THEN 1.0
+                           WHEN stop_ratio > 0.0 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN mean_len >= 2.5 AND mean_len <= 12.0 THEN 1.0 ELSE 0.5 END)
+                   ) / 3.0, 6) AS quality
+            FROM bands
+        """,
+        "fingerprint": f"""
+            WITH {_RAW_TOK_CTE}
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, t ->
+                         list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(1, length(t) + 1),
+                                            i -> CAST(ascii(t[i:i]) AS BIGINT))),
+                           (a, c) -> (a * 131 + c) % 2147483647))),
+                     (acc, th) -> (acc * 31 + th) % 2147483647) AS fingerprint
+            FROM rawtok
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "join_top_customers": """
+            SELECT CAST(rank AS INTEGER) AS rank, c_custkey, c_name, revenue
+            FROM (
+              SELECT c.c_custkey, c.c_name,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                     row_number() OVER (
+                       ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                                c.c_custkey) AS rank
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2)
+            WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,280 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+* index-build throughput (docs/sec) for the persisted block index,
+* per-query latency + aggregate QPS for the reference query set via
+  block-max WAND over the persisted index,
+* the north-rule two-cluster-size scaling evidence: the identical
+  build+search job at local[N] and local[4N] cores on the same
+  (scaled-up) input, reporting throughput at both and the scaling
+  efficiency  eff = T_N / (4 * T_4N)  ... expressed as
+  eff = (thr_4N / thr_N) / 4  (1.0 = perfect linear scaling).
+
+Baseline context (BASELINE.md, reference AIHelpMe corpus logs): the
+reference builds at ~16 docs/sec end-to-end on a GPU and answers a toy
+query in ~15 ms; the numbers below are the Spark engine's equivalents at
+sf0.1 on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 192 copies of sf0.1 documents = ~960k docs: sized so the parallelizable
+# compute dominates the ~25s per-session JVM floor (codegen, worker spawn,
+# commit protocol), which a multi-hour production build amortizes to zero
+SCALE_COPIES = int(os.environ.get("BENCH_SCALE_COPIES", "192"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "5"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _fresh_spark(master: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # local master lives in this JVM; a stopped context can be replaced
+    from colbert_jl_spark.session import get_spark
+
+    return get_spark("bench", master=master, shuffle_partitions=shuffle_partitions)
+
+
+def _scale_run_subprocess(cores: int, copies: int, index_dir: str) -> dict:
+    """Run the identical build+search job in a CLEAN JVM (fresh python
+    subprocess): same-process back-to-back SparkContexts share one heap and
+    the later run pays the earlier run's GC debt, which corrupts the
+    scaling comparison."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-run",
+         str(cores), str(copies), index_dir],
+        capture_output=True, text=True, timeout=1800,
+        cwd=REPO,
+    )
+    if out.returncode != 0:
+        log(out.stderr[-2000:])
+        raise RuntimeError(f"scale run at {cores} cores failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _scaled_docs(spark, copies: int):
+    """Deterministically enlarge the corpus: `copies` shifted replicas of
+    the sf documents table (doc_id remapped to stay unique)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.count()
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, n * copies
+
+
+def _stage_times(index_dir: str, t_start: float) -> dict:
+    """Per-stage wall times from the build's _STAGES.json ledger."""
+    with open(os.path.join(index_dir, "_STAGES.json")) as f:
+        stages = json.load(f)
+    marks = sorted((v["completed_at"], k) for k, v in stages.items())
+    out, prev = {}, t_start
+    for t, name in marks:
+        out[name] = round(t - prev, 3)
+        prev = t
+    return out
+
+
+def _build_and_search_once(spark, docs, n_docs: int, index_dir: str) -> dict:
+    """The identical job run at both parallelism levels."""
+    from colbert_jl_spark.config import EngineConfig
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+    from colbert_jl_spark.queries import queries_df
+
+    cfg = EngineConfig()
+    t_wall0 = time.time()
+    t0 = time.perf_counter()
+    IndexBuilder(index_dir, cfg).build(docs, force=True)
+    t_build = time.perf_counter() - t0
+
+    reader = IndexReader(spark, index_dir)
+    q = queries_df(spark)
+    t0 = time.perf_counter()
+    rows = reader.search(q).collect()
+    t_search = time.perf_counter() - t0
+    return {
+        "build_sec": t_build,
+        "build_docs_per_sec": n_docs / t_build,
+        "search_sec": t_search,
+        "result_rows": len(rows),
+        "stage_sec": _stage_times(index_dir, t_wall0),
+    }
+
+
+def main() -> None:
+    from colbert_jl_spark.config import EngineConfig
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+    from colbert_jl_spark.queries import QUERY_SET, queries_df
+
+    results: dict = {"sf": SF_DIR, "cpus": CPUS}
+    work = tempfile.mkdtemp(prefix="colbert_bench_")
+    try:
+        # ---- headline: build + per-query latency at local[CPUS] ----------
+        spark = _fresh_spark(f"local[{CPUS}]", CPUS)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        cfg = EngineConfig()
+        idx = os.path.join(work, "idx_main")
+        t0 = time.perf_counter()
+        IndexBuilder(idx, cfg).build(docs, force=True)
+        build_sec = time.perf_counter() - t0
+        log(f"build: {n_docs} docs in {build_sec:.2f}s ({n_docs/build_sec:.0f} docs/s)")
+
+        reader = IndexReader(spark, idx)
+        # warm-up pass (JVM/codegen warmup excluded from timings)
+        reader.search(queries_df(spark)).collect()
+
+        # batched throughput: the whole query set in ONE job DAG — the
+        # relevant number for a batch engine (per-query latency below pays
+        # full Spark job-scheduling overhead per query)
+        batched_times = []
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            reader.search(queries_df(spark)).collect()
+            batched_times.append(time.perf_counter() - t0)
+        batched_sec = min(batched_times)
+        batched_qps = len(QUERY_SET) / batched_sec
+        log(f"batched suite: {batched_sec:.2f}s → {batched_qps:.1f} q/s")
+
+        per_query: dict[str, float] = {}
+        lat_all: list[float] = []
+        for qid, qtext in QUERY_SET:
+            from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+            schema = StructType(
+                [StructField("qid", LongType()), StructField("query", StringType())]
+            )
+            one = spark.createDataFrame([(qid, qtext)], schema)
+            times = []
+            for _ in range(QUERY_REPS):
+                t0 = time.perf_counter()
+                reader.search(one).collect()
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            per_query[f"q{qid}"] = round(best, 4)
+            lat_all.extend(times)
+        lat_all.sort()
+        suite_sec = sum(per_query.values())
+        qps = len(QUERY_SET) / suite_sec if suite_sec else 0.0
+        p50 = lat_all[len(lat_all) // 2]
+        p99 = lat_all[min(len(lat_all) - 1, int(len(lat_all) * 0.99))]
+        log(f"query suite: {suite_sec:.2f}s total, {qps:.2f} q/s, p50={p50:.3f}s p99={p99:.3f}s")
+
+        spark.stop()
+
+        # ---- scaling: identical job at N and 4N cores, clean JVM each -----
+        # The pair defaults to local[2] vs local[8]: this sandbox VM
+        # advertises 32 vCPUs but a raw multiprocessing probe shows host
+        # oversubscription beyond ~8 workers (8->16 workers yields only
+        # 1.3x), while 2->8 workers is a stable 3.7-3.9x. Measuring the
+        # engine above the box's physical capacity would measure the
+        # hypervisor, not the job. On a real cluster this is N and 4N
+        # executors via spark-submit.
+        hi = int(os.environ.get("BENCH_SCALE_CORES_HI", str(min(8, CPUS))))
+        lo = max(1, hi // 4)
+        r_lo = _scale_run_subprocess(lo, SCALE_COPIES, os.path.join(work, "idx_lo"))
+        log(f"scaling local[{lo}]: {r_lo}")
+        r_hi = _scale_run_subprocess(hi, SCALE_COPIES, os.path.join(work, "idx_hi"))
+        log(f"scaling local[{hi}]: {r_hi}")
+        sn = r_hi["n_docs"]
+
+        speedup = r_lo["build_sec"] / r_hi["build_sec"]
+        eff = speedup / (hi / lo)
+        # compute-stage efficiency: tokenize (postings) + encode (blocks)
+        # stages only — the parts that scale with data; the per-session
+        # fixed floor (codegen/worker spawn/commit) amortizes to zero on a
+        # multi-hour production build but dominates a 1-minute toy build
+        comp_lo = sum(r_lo["stage_sec"].get(s, 0.0) for s in ("postings", "blocks"))
+        comp_hi = sum(r_hi["stage_sec"].get(s, 0.0) for s in ("postings", "blocks"))
+        comp_eff = (comp_lo / comp_hi) / (hi / lo) if comp_hi else None
+        results.update(
+            {
+                "metric": "bm25_wand_batched_suite_seconds_sf0.1",
+                "value": round(batched_sec, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "n_docs": n_docs,
+                "build_sec": round(build_sec, 3),
+                "build_docs_per_sec": round(n_docs / build_sec, 1),
+                "qps_batched": round(batched_qps, 2),
+                "qps_sequential": round(qps, 2),
+                "p50_latency_sec": round(p50, 4),
+                "p99_latency_sec": round(p99, 4),
+                "scaling": {
+                    "input_docs": sn,
+                    f"local[{lo}]": {
+                        k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in r_lo.items()
+                    },
+                    f"local[{hi}]": {
+                        k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in r_hi.items()
+                    },
+                    "build_speedup": round(speedup, 3),
+                    "cores_ratio": hi // lo,
+                    "scaling_efficiency": round(eff, 3),
+                    "compute_stage_efficiency": round(comp_eff, 3) if comp_eff else None,
+                },
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps(results))
+
+
+def scale_run(cores: int, copies: int, index_dir: str) -> None:
+    """Child-process entry: one build+search at local[cores]; prints JSON.
+
+    The scaled corpus is materialized to parquet BEFORE the timed section —
+    re-scanning a 48-way union per stage would bench the test-data
+    generator, not the engine."""
+    spark = _fresh_spark(f"local[{cores}]", cores)
+    corpus_dir = os.path.join(os.path.dirname(index_dir), f"corpus_{copies}")
+    if not os.path.exists(corpus_dir):
+        docs, n = _scaled_docs(spark, copies)
+        docs.repartition(max(cores * 2, 16)).write.mode("overwrite").parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
+    n = docs.count()
+    r = _build_and_search_once(spark, docs, n, index_dir)
+    r["n_docs"] = n
+    spark.stop()
+    print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-run":
+        scale_run(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        main()

@@ -43,17 +43,59 @@ BLOCK_SCHEMA = (
 )
 
 
-def term_postings_with_doclen(docs: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:
-    """(term, doc_id, tf, doclen) — doclen computed inline from the same
-    term array (no doc-side join; doclen is functionally dependent on
-    doc_id so grouping by it is free)."""
+def term_postings_with_doclen(
+    docs: DataFrame, cfg: EngineConfig = EngineConfig(), spimi: bool = True
+) -> DataFrame:
+    """(term, doc_id, tf, doclen) — the posting stream.
+
+    ``spimi=True`` (default): tf is counted PER DOC inside a mapInPandas
+    pass — term frequency is a doc-local fact, so no shuffle is needed at
+    all (the SPIMI in-partition aggregation from SURVEY.md §7 Stage 2; the
+    analogue of the reference's per-chunk encode loop,
+    reference src/indexing/collection_indexer.jl:271-297). Tokenization
+    stays a JVM Catalyst expression; only the explode+count runs in
+    pandas (C-speed groupby over each Arrow batch). At corpus scale this
+    removes a full shuffle of every token occurrence (~1 row per token)
+    — the single largest data movement in the naive plan.
+
+    ``spimi=False``: the pure-Catalyst explode+groupBy formulation, kept
+    as the cross-check oracle for tests (identical output, one shuffle).
+    """
     terms = terms_col("text", cfg.doc_maxlen, cfg.stopwords)
-    return (
-        docs.select("doc_id", terms.alias("terms"))
-        .withColumn("doclen", F.size("terms"))
-        .select("doc_id", "doclen", F.explode("terms").alias("term"))
-        .groupBy("term", "doc_id", "doclen")
-        .agg(F.count("*").alias("tf"))
+    tokenized = docs.select(
+        "doc_id", terms.alias("terms")
+    ).withColumn("doclen", F.size("terms"))
+    if not spimi:
+        return (
+            tokenized.select("doc_id", "doclen", F.explode("terms").alias("term"))
+            .groupBy("term", "doc_id", "doclen")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ex = pdf[["doc_id", "doclen", "terms"]].explode("terms")
+            ex = ex[ex["terms"].notna()]
+            if ex.empty:
+                continue
+            g = (
+                ex.groupby(["terms", "doc_id", "doclen"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            yield pd.DataFrame(
+                {
+                    "term": g["terms"].astype(str),
+                    "doc_id": g["doc_id"].astype("int64"),
+                    "tf": g["tf"].astype("int64"),
+                    "doclen": g["doclen"].astype("int32"),
+                }
+            )
+
+    return tokenized.mapInPandas(
+        count_batches, "term string, doc_id long, tf long, doclen int"
     )
 
 

@@ -1,0 +1,331 @@
+"""Offline index build + load + search — the orchestration layer.
+
+The analogue of the reference's top-level build driver ``index(indexer)``
+(reference src/indexing.jl:63-147) and ``Searcher(index_path)``
+(reference src/searching.jl:18-80), re-expressed as a staged Spark job:
+
+    stage "postings"   — THE tokenize pass: docs → (term, doc_id, tf,
+                         doclen) parquet. Everything downstream derives
+                         from this materialization, so the expensive
+                         extract+tokenize+explode shuffle runs exactly ONCE
+                         over the corpus (at 100 TB this is the dominant
+                         cost; re-tokenizing per stage would be a 4× blowup)
+                         (reference encode_passages per chunk,
+                          checkpoint.jl:159-189)
+    stage "plan"       — exact corpus stats → plan.json
+                         (reference setup(), collection_indexer.jl:115-139,
+                          but EXACT instead of sampled), plus
+                         (doc_id, doclen) docstats parquet
+                         (reference doclens chunks, savers.jl:64-68)
+    stage "dictionary" — (term, df, cf, idf) parquet
+                         (reference ivf_lengths, collection_indexer.jl:352)
+    stage "blocks"     — compressed posting blocks, partitioned by
+                         term_bucket, sorted by term within partitions so
+                         parquet row-group min/max prune term lookups
+                         (reference chunks + codec,
+                          collection_indexer.jl:271-297, residual.jl:586-604)
+    stage "lineage"    — per-partition build metrics: docs seen, postings
+                         emitted, bytes compressed (north-rule lineage rows;
+                         the analogue of per-chunk metadata.json,
+                          savers.jl:74-84)
+
+Resumability (north rule; analogue of the reference's isdir guard +
+_check_all_files_are_saved, indexing.jl:64-67 /
+collection_indexer.jl:299-340): every stage commits atomically
+(write to tmp dir → rename) and records itself in _STAGES.json; a re-run
+skips completed stages, so a build interrupted after "dictionary"
+restarts at "blocks" without recomputing stats. On Iceberg the same
+structure maps to snapshot checkpoints; the staged-commit protocol here is
+storage-agnostic.
+
+``validate()`` re-checks the cross-stage invariants the reference asserts
+at load time (sum(doclens) == num_embeddings, loaders.jl:85-87):
+sum(dictionary.df) == total postings == sum(blocks.n_docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+
+STAGES = ("postings", "plan", "dictionary", "blocks", "lineage")
+
+
+def _stage_file(index_path: str) -> str:
+    return os.path.join(index_path, "_STAGES.json")
+
+
+def _load_stages(index_path: str) -> dict:
+    try:
+        with open(_stage_file(index_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _mark_stage(index_path: str, stage: str, meta: dict | None = None) -> None:
+    done = _load_stages(index_path)
+    done[stage] = meta or {}
+    done[stage]["completed_at"] = time.time()
+    tmp = _stage_file(index_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(done, f, indent=2, sort_keys=True)
+    os.replace(tmp, _stage_file(index_path))
+
+
+def _atomic_write(df: DataFrame, final_dir: str, partition_by: str | None = None) -> None:
+    """Write parquet to <dir>.tmp then rename — the poor man's snapshot
+    commit (Iceberg gives this transactionally; plain parquet needs the
+    rename protocol so a killed job never leaves a half-written stage)."""
+    tmp = final_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
+
+
+@dataclass
+class IndexBuilder:
+    """Builds a persisted block index at ``index_path``.
+
+    ``force=True`` rebuilds from scratch (clears the stage ledger) —
+    otherwise completed stages are skipped (resume semantics).
+    """
+
+    index_path: str
+    cfg: EngineConfig = EngineConfig()
+
+    def build(self, docs: DataFrame, force: bool = False) -> dict:
+        from colbert_jl_spark.operators.codec_blocks import (
+            posting_blocks,
+            term_postings_with_doclen,
+            with_term_partition,
+        )
+        from colbert_jl_spark.operators.postings import term_df
+
+        os.makedirs(self.index_path, exist_ok=True)
+        if force:
+            for s in (*STAGES, "docstats"):
+                shutil.rmtree(os.path.join(self.index_path, s), ignore_errors=True)
+            try:
+                os.remove(_stage_file(self.index_path))
+            except FileNotFoundError:
+                pass
+        spark = docs.sparkSession
+
+        # -- stage: postings (THE tokenize pass — runs once) ----------------
+        postings_dir = os.path.join(self.index_path, "postings")
+        if "postings" not in _load_stages(self.index_path):
+            pdl = term_postings_with_doclen(docs, self.cfg)
+            _atomic_write(pdl, postings_dir)
+            _mark_stage(self.index_path, "postings")
+        postings = spark.read.parquet(postings_dir)
+
+        # -- stage: plan + docstats (derived; no re-tokenize) ---------------
+        if "plan" not in _load_stages(self.index_path):
+            # docstats = distinct (doc_id, doclen) from postings. Docs whose
+            # every token was stoplisted never reach postings; they are
+            # accounted for by n_empty_docs = docs.count() - docstats rows
+            # (a metadata-only count), keeping N/avgdl exact WITHOUT an
+            # anti-join shuffle over the corpus.
+            seen = postings.select("doc_id", "doclen").distinct()
+            _atomic_write(seen, os.path.join(self.index_path, "docstats"))
+            ds = spark.read.parquet(os.path.join(self.index_path, "docstats"))
+            row = ds.agg(
+                F.count("*").alias("n"),
+                F.sum("doclen").alias("tot"),
+            ).first()
+            n_total = docs.count()
+            n_empty = n_total - row["n"]
+            plan = {
+                "n_docs": n_total,
+                "n_empty_docs": n_empty,
+                "avgdl": (row["tot"] or 0) / n_total if n_total else 0.0,
+                "total_tokens": row["tot"] or 0,
+                "bucket_size": max(1, -(-n_total // self.cfg.num_index_partitions)),
+                "config": json.loads(self.cfg.to_json()),
+                "format_version": 1,
+            }
+            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
+                json.dump(plan, f, indent=2, sort_keys=True)
+            _mark_stage(self.index_path, "plan", {"n_docs": row["n"]})
+        plan = self.plan()
+
+        # -- stage: dictionary ---------------------------------------------
+        if "dictionary" not in _load_stages(self.index_path):
+            from colbert_jl_spark.operators.bm25 import idf_col
+
+            dic = term_df(postings.select("term", "doc_id", "tf")).withColumn(
+                "idf", idf_col(F.col("df"), plan["n_docs"])
+            )
+            _atomic_write(dic, os.path.join(self.index_path, "dictionary"))
+            _mark_stage(self.index_path, "dictionary")
+
+        # -- stage: blocks ----------------------------------------------
+        if "blocks" not in _load_stages(self.index_path):
+            dic = spark.read.parquet(os.path.join(self.index_path, "dictionary"))
+            # size the term-hash directory partitioning to the data:
+            # ~2M postings per partition dir, clamped. A fixed large count
+            # explodes file counts at small scale (tasks × dirs files);
+            # too small a count kills query-time pruning. plan.json is
+            # rewritten with the chosen value — the same rewrite-after-
+            # build pattern the reference uses (indexing.jl:125-132).
+            n_postings = dic.agg(F.sum("df")).first()[0] or 0
+            term_partitions = int(min(4096, max(4, n_postings // 2_000_000)))
+            plan["term_partitions"] = term_partitions
+            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
+                json.dump(plan, f, indent=2, sort_keys=True)
+            blocks = posting_blocks(
+                postings,
+                dic.select("term", "df"),
+                plan["n_docs"],
+                plan["avgdl"],
+                self.cfg,
+                bucket_size=plan["bucket_size"],
+            )
+            blocks = with_term_partition(blocks, term_partitions)
+            # NO repartition before the partitionBy write: the encode output
+            # is already (term, bucket)-grouped, so rows of one term are
+            # contiguous within each task and parquet row-group min/max
+            # stats on `term` stay tight; a repartition("term_bucket") here
+            # would add a full shuffle whose 64-key hash skews badly at
+            # high parallelism.
+            _atomic_write(
+                blocks, os.path.join(self.index_path, "blocks"), "term_bucket"
+            )
+            _mark_stage(self.index_path, "blocks")
+
+        # -- stage: lineage (per doc-bucket build metrics) -------------------
+        if "lineage" not in _load_stages(self.index_path):
+            blocks = spark.read.parquet(os.path.join(self.index_path, "blocks"))
+            lineage = blocks.groupBy("bucket").agg(
+                F.sum("n_docs").alias("postings_emitted"),
+                F.count("*").alias("blocks_written"),
+                F.sum(F.length("payload")).alias("bytes_compressed"),
+                F.countDistinct("term").alias("terms_seen"),
+            )
+            _atomic_write(lineage, os.path.join(self.index_path, "lineage"))
+            _mark_stage(self.index_path, "lineage")
+
+        return plan
+
+    def plan(self) -> dict:
+        with open(os.path.join(self.index_path, "plan.json")) as f:
+            return json.load(f)
+
+
+class IndexReader:
+    """Query-side handle — the Searcher analogue. Unlike the reference,
+    which materializes the whole compressed index in driver RAM
+    (reference src/loaders.jl:91-113; flagged at SURVEY.md §3.3 as the
+    central scalability limit), only plan.json is driver-side; dictionary,
+    docstats and blocks stay distributed parquet scans with pushed-down
+    term filters."""
+
+    def __init__(self, spark: SparkSession, index_path: str, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.index_path = index_path
+        with open(os.path.join(index_path, "plan.json")) as f:
+            self.plan = json.load(f)
+        self.cfg = cfg or EngineConfig(
+            **{
+                k: (tuple(v) if k == "stopwords" else v)
+                for k, v in self.plan["config"].items()
+            }
+        )
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_path, "blocks"))
+
+    @property
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_path, "dictionary"))
+
+    @property
+    def docstats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_path, "docstats"))
+
+    @property
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_path, "lineage"))
+
+    def search(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """Top-k via block-max WAND over the persisted block table —
+        the ``search(searcher, query, k)`` analogue
+        (reference src/searching.jl:93-128).
+
+        The query-term set is tiny by definition, so it is collected and
+        pushed as literal IN-filters on (term_bucket, term): term_bucket
+        prunes whole partition DIRECTORIES; the term filter hits parquet
+        row-group min/max stats (blocks are term-sorted at write). This is
+        the engine's nprobe analogue — only the touched posting lists are
+        read (reference ranking.jl:30-36)."""
+        from colbert_jl_spark.operators.bm25 import query_terms
+        from colbert_jl_spark.operators.wand import wand_topk
+
+        qt = query_terms(queries, self.cfg)
+        tp = self.plan.get("term_partitions")
+        rows = (
+            qt.select("term")
+            .distinct()
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int") if tp else F.lit(0),
+            )
+            .collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "qid long, rank int, doc_id long, score double"
+            )
+        terms = [r["term"] for r in rows]
+        blocks = self.blocks.where(F.col("term").isin(terms))
+        if tp:
+            buckets = sorted({r["term_bucket"] for r in rows})
+            blocks = blocks.where(F.col("term_bucket").isin(buckets))
+        return wand_topk(blocks, qt, self.cfg, self.plan["avgdl"], k)
+
+    def validate(self) -> dict:
+        """Cross-stage invariants — the _check_all_files_are_saved analogue
+        (reference collection_indexer.jl:299-340 + loaders.jl:85-87)."""
+        stages = _load_stages(self.index_path)
+        missing = [s for s in STAGES if s not in stages]
+        dic_postings = self.dictionary.agg(F.sum("df")).first()[0]
+        blk_postings = self.blocks.agg(F.sum("n_docs")).first()[0]
+        n_docs = self.docstats.count()
+        total_tokens = self.docstats.agg(F.sum("doclen")).first()[0]
+        report = {
+            "missing_stages": missing,
+            "dictionary_postings": dic_postings,
+            "block_postings": blk_postings,
+            "postings_match": dic_postings == blk_postings,
+            "n_docs": n_docs,
+            # docstats holds only docs with ≥1 indexable token; all-stopword
+            # docs are carried as plan.n_empty_docs (kept out of the table,
+            # in N/avgdl)
+            "n_docs_match": n_docs + self.plan.get("n_empty_docs", 0)
+            == self.plan["n_docs"],
+            "total_tokens_match": total_tokens == self.plan["total_tokens"],
+        }
+        report["ok"] = (
+            not missing
+            and report["postings_match"]
+            and report["n_docs_match"]
+            and report["total_tokens_match"]
+        )
+        return report

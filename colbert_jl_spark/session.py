@@ -34,17 +34,31 @@ def get_spark(
         # sized to total executor cores (AQE coalesces small ones anyway)
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # pin BLAS pools inside pandas-UDF workers: every worker spinning a
+    # full-width OpenBLAS pool oversubscribes the box catastrophically when
+    # 32 workers run concurrently (numpy codec work is elementwise anyway)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local/bench scale: inputs are small parquet files; without these
+        # the scan parallelism is capped at the file count and nothing
+        # downstream can scale past it. On a 100 TB cluster the default
+        # 128m is right — these are sized to the data, not the engine.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -1,0 +1,87 @@
+"""Persisted index build: round-trip, resume, validation — mirrors the
+reference's save/load round-trip + completeness-check tests
+(reference test/loaders_and_savers.jl:5-138,
+test/indexing/collection_indexer.jl:190-258)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.operators.bm25 import bm25_topk
+from colbert_jl_spark.plans.build import IndexBuilder, IndexReader, _load_stages
+from colbert_jl_spark.queries import queries_df
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    return str(tmp_path / "idx")
+
+
+def test_build_search_matches_oracle(spark, docs01, index_dir):
+    cfg = EngineConfig(block_size=32)
+    builder = IndexBuilder(index_dir, cfg)
+    plan = builder.build(docs01)
+    assert plan["n_docs"] == docs01.count()
+
+    reader = IndexReader(spark, index_dir)
+    report = reader.validate()
+    assert report["ok"], report
+
+    q = queries_df(spark)
+    got = reader.search(q).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    want = bm25_topk(docs01, q, cfg).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_build_is_idempotent_and_resumable(spark, docs01, index_dir):
+    cfg = EngineConfig(block_size=32)
+    builder = IndexBuilder(index_dir, cfg)
+    builder.build(docs01)
+    stamp1 = os.path.getmtime(os.path.join(index_dir, "blocks"))
+    # second build skips everything (reference indexing.jl:64-67 guard)
+    builder.build(docs01)
+    assert os.path.getmtime(os.path.join(index_dir, "blocks")) == stamp1
+
+    # simulate a crash after "dictionary": drop blocks+lineage stage marks
+    stages = _load_stages(index_dir)
+    for s in ("blocks", "lineage"):
+        stages.pop(s)
+        shutil.rmtree(os.path.join(index_dir, s), ignore_errors=True)
+    with open(os.path.join(index_dir, "_STAGES.json"), "w") as f:
+        json.dump(stages, f)
+    stamp_dict = os.path.getmtime(os.path.join(index_dir, "dictionary"))
+    builder.build(docs01)  # resumes: rebuilds only blocks + lineage
+    assert os.path.getmtime(os.path.join(index_dir, "dictionary")) == stamp_dict
+    reader = IndexReader(spark, index_dir)
+    assert reader.validate()["ok"]
+
+
+def test_lineage_metrics(spark, docs01, index_dir):
+    cfg = EngineConfig(block_size=32)
+    IndexBuilder(index_dir, cfg).build(docs01)
+    reader = IndexReader(spark, index_dir)
+    lin = reader.lineage.toPandas()
+    # north-rule lineage: per-partition postings emitted + bytes compressed
+    assert {"bucket", "postings_emitted", "blocks_written", "bytes_compressed", "terms_seen"} <= set(lin.columns)
+    assert (lin["bytes_compressed"] > 0).all()
+    total_postings = int(lin["postings_emitted"].sum())
+    assert total_postings == reader.dictionary.toPandas()["df"].sum()
+
+
+def test_validate_detects_missing_stage(spark, docs01, index_dir):
+    cfg = EngineConfig(block_size=32)
+    IndexBuilder(index_dir, cfg).build(docs01)
+    stages = _load_stages(index_dir)
+    stages.pop("lineage")
+    with open(os.path.join(index_dir, "_STAGES.json"), "w") as f:
+        json.dump(stages, f)
+    report = IndexReader(spark, index_dir).validate()
+    assert not report["ok"]
+    assert report["missing_stages"] == ["lineage"]

@@ -1,0 +1,78 @@
+"""Dedup operator semantics on planted duplicates — the adversarial
+fixtures the synthetic corpus doesn't guarantee (FIXTURES.md §6 style)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with: exact dup (0,1), near dup (2,3: one word changed),
+    unrelated docs (4,5)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "weasel", 1)
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),
+        (2, base + " tail one", "en"),
+        (3, near + " tail one", "en"),
+        (4, "totally different content about query engines and parquet files", "en"),
+        (5, "unrelated corpus text with no overlap whatsoever in the shingles", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_duplicates(planted):
+    out = exact_duplicates(planted).toPandas().set_index("doc_id")
+    assert out.loc[1, "is_duplicate"] and out.loc[1, "canonical_doc_id"] == 0
+    assert not out.loc[0, "is_duplicate"]
+    assert not out.loc[2, "is_duplicate"]  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_finds_planted_pairs(planted):
+    pairs = ngram_jaccard_pairs(planted, n=3, threshold=0.5).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got  # identical → jaccard 1.0
+    assert (2, 3) in got  # one-word edit → high jaccard
+    assert not any({4, 5} & set(p) for p in got if p != (4, 5))
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert exact.jaccard.iloc[0] == 1.0
+
+
+def test_minhash_lsh_matches_exact_at_high_threshold(planted):
+    """LSH candidates + exact verification == exact all-pairs at the 0.8
+    knee (banding recall ~1 there) — the same oracle claim the driver
+    checks on the testdata corpus."""
+    exact = ngram_jaccard_pairs(planted, n=3, threshold=0.8).toPandas()
+    lsh = minhash_lsh_pairs(planted, n=3, threshold=0.8).toPandas()
+    key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.jaccard))  # noqa: E731
+    assert key(exact) == key(lsh)
+
+
+def test_simhash_properties(planted):
+    sh = simhash64(planted).toPandas().set_index("doc_id")["simhash"]
+    assert sh.loc[0] == sh.loc[1]  # identical docs → identical fingerprint
+    # near-dup docs → small hamming distance
+    ham = bin(int(sh.loc[2]) ^ int(sh.loc[3])).count("1")
+    assert ham <= 8, f"near-dup hamming {ham}"
+    # unrelated docs → large distance
+    ham_far = bin(int(sh.loc[0]) ^ int(sh.loc[4])).count("1")
+    assert ham_far > 10, f"unrelated hamming {ham_far}"
+
+
+def test_simhash_near_pairs_contains_exact_dup(planted):
+    pairs = simhash_near_pairs(planted, max_hamming=3).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got
+    assert pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].hamming.iloc[0] == 0

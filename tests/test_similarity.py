@@ -1,0 +1,71 @@
+"""Similarity search: brute-force correctness + LSH-ANN recall gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.operators.similarity import (
+    brute_force_neardup_pairs,
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    """64 random unit-ish vectors + 4 planted near-duplicates of vec 0-3."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((64, DIM))
+    rows = [(int(i), [float(x) for x in base[i]], int(i % 3)) for i in range(64)]
+    # planted near-dups: tiny perturbations → cosine ≈ 0.999
+    for j in range(4):
+        pert = base[j] + 0.01 * rng.standard_normal(DIM)
+        rows.append((100 + j, [float(x) for x in pert], 0))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _queries(vecs):
+    return (
+        vecs.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qembedding"))
+    )
+
+
+def test_cosine_topk_finds_planted_neighbor(spark, vecs):
+    out = cosine_topk(vecs, _queries(vecs), k=3).toPandas()
+    for q in range(3):
+        top1 = out[(out.qvec_id == q) & (out["rank"] == 1)]
+        assert top1.vec_id.iloc[0] == 100 + q, f"query {q} top1 {top1.vec_id.iloc[0]}"
+        assert top1.cosine.iloc[0] > 0.99
+
+
+def test_lsh_ann_recall_at_k(spark, vecs):
+    """ANN recall@3 vs brute force ≥ 2/3 per query on average — the gate
+    that makes the LSH path trustworthy (8 planes × 8 tables)."""
+    exact = cosine_topk(vecs, _queries(vecs), k=3).toPandas()
+    ann = lsh_ann_topk(vecs, _queries(vecs), k=3, dim=DIM).toPandas()
+    recalls = []
+    for q in range(3):
+        e = set(exact[exact.qvec_id == q].vec_id)
+        a = set(ann[ann.qvec_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.66, recalls
+    # the planted ~identical neighbor must never be missed (collides in
+    # essentially every table)
+    for q in range(3):
+        assert 100 + q in set(ann[ann.qvec_id == q].vec_id)
+
+
+def test_neardup_lsh_equals_bruteforce_at_high_threshold(spark, vecs):
+    bf = brute_force_neardup_pairs(vecs, threshold=0.95).toPandas()
+    lsh = embedding_neardup_pairs(vecs, threshold=0.95, dim=DIM).toPandas()
+    key = lambda df: sorted(zip(df.vec_a, df.vec_b))  # noqa: E731
+    assert key(bf) == key(lsh)
+    assert len(bf) >= 4  # the planted pairs
