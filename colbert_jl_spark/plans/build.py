@@ -133,6 +133,23 @@ class IndexBuilder:
             pdl = term_postings_with_doclen(docs, self.cfg)
             _atomic_write(pdl, postings_dir)
             _mark_stage(self.index_path, "postings")
+
+        return self.finish_from_postings(spark, n_docs_total=docs.count())
+
+    def finish_from_postings(self, spark: SparkSession, n_docs_total: int) -> dict:
+        """Run every stage downstream of the materialized postings table.
+
+        Split out so the streaming ingest path (streaming/ingest.py), which
+        appends postings incrementally via foreachBatch, can compact into a
+        queryable index without a docs DataFrame — it passes the doc count
+        accumulated in its ingest log instead."""
+        from colbert_jl_spark.operators.codec_blocks import (
+            posting_blocks,
+            with_term_partition,
+        )
+        from colbert_jl_spark.operators.postings import term_df
+
+        postings_dir = os.path.join(self.index_path, "postings")
         postings = spark.read.parquet(postings_dir)
 
         # -- stage: plan + docstats (derived; no re-tokenize) ---------------
@@ -149,7 +166,7 @@ class IndexBuilder:
                 F.count("*").alias("n"),
                 F.sum("doclen").alias("tot"),
             ).first()
-            n_total = docs.count()
+            n_total = n_docs_total
             n_empty = n_total - row["n"]
             plan = {
                 "n_docs": n_total,

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: the .explain() properties that predict
+100 TB behavior — filter pushdown to the parquet scan, column pruning,
+broadcast of the small join side, whole-stage codegen on the hot path,
+and partition-directory pruning on the persisted index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.operators.bm25 import bm25_topk, query_terms
+from colbert_jl_spark.operators.postings import term_postings
+from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+from colbert_jl_spark.queries import queries_df
+from tests.conftest import SF001
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    # other tests cache this table; a cached relation would replace the
+    # FileScan with InMemoryTableScan and hide the pushdown we assert on
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_column_pruning_on_postings(spark):
+    """The tokenize path must read only (doc_id, text) — a scan that drags
+    lang/source/n_chars through explode would be reading dead weight at
+    corpus scale."""
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan = _formatted(term_postings(docs))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "doc_id" in read_schema[0] and "text" in read_schema[0]
+    for col in ("lang", "source", "n_chars"):
+        assert col not in read_schema[0], f"{col} not pruned: {read_schema[0]}"
+
+
+def test_bm25_broadcasts_query_side(spark, docs001):
+    """Query terms are a tiny dim table: the plan must broadcast them, and
+    postings must NOT appear under a shuffle-exchange feeding the join."""
+    out = bm25_topk(docs001, queries_df(spark), EngineConfig())
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_tokenize_path_is_whole_stage_codegen(spark, docs001):
+    """No Python anywhere in posting construction via the Catalyst path:
+    the explode+filter+count pipeline compiles into WholeStageCodegen and
+    the plan contains no Python evals (BatchEvalPython/ArrowEvalPython
+    would mean a per-row or per-batch Python crossing)."""
+    df = term_postings(docs001)
+    df.collect()  # execute THIS plan: AQE finalizes + codegen spans appear
+    plan = _plan(df)
+    # codegen stages print as "*(n) Operator" in the final plan
+    assert "*(1)" in plan and "*(2)" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # tokenize sits in the Generate node as pure Catalyst expressions
+    assert "explode(filter(slice(filter(split(lower(" in plan, plan
+
+
+def test_index_search_prunes_partitions(spark, docs001, tmp_path):
+    """The persisted-index search must hit only the term_bucket partition
+    directories of the query's terms (the nprobe analogue), visible as a
+    PartitionFilters/dynamic pruning entry in the scan."""
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(block_size=32)
+    IndexBuilder(idx, cfg).build(docs001)
+    reader = IndexReader(spark, idx)
+    out = reader.search(queries_df(spark))
+    plan = _formatted(out)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, plan
+    assert any("term_bucket" in l and "IN" in l.upper() for l in scan_lines), scan_lines
+    # and the term IN (...) filter is pushed to the parquet reader
+    assert "PushedFilters" in plan and "In(term" in plan, plan
