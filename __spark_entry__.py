@@ -263,6 +263,26 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage demos (SURVEY §2.8 shapes: agg, join, top-k)
 # ---------------------------------------------------------------------------
 
+def q_doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR prefix-sum offsets (SURVEY §2.6 I4 analogue — window agg)."""
+    from colbert_jl_spark.operators.docstats import doclens
+    from colbert_jl_spark.operators.stats import doc_offsets
+
+    return doc_offsets(doclens(_docs(spark, sf_dir), CFG))
+
+
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bucket cutoffs/weights (SURVEY §2.4 A5 analogue)."""
+    from pyspark.sql import functions as F
+
+    from colbert_jl_spark.operators.docstats import doclens
+    from colbert_jl_spark.operators.stats import doclen_quantiles
+
+    q = doclen_quantiles(doclens(_docs(spark, sf_dir), CFG), nbits=2)
+    return q.select("kind", "idx", F.round("prob", 6).alias("prob"),
+                    F.round("value", 6).alias("value"))
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -380,6 +400,8 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
+        "doc_offsets": q_doc_offsets,
+        "doclen_quantiles": q_doclen_quantiles,
     }
 
 
@@ -473,6 +495,26 @@ def _extra_oracles() -> dict[str, str]:
                      (acc, th) -> (acc * 31 + th) % 2147483647) AS fingerprint
             FROM rawtok
         """,
+        "doc_offsets": f"""
+            WITH {_DOC_TOK_CTE}
+            SELECT doc_id, doclen,
+                   CAST(COALESCE(SUM(doclen) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+            FROM docstats
+        """,
+        "doclen_quantiles": f"""
+            WITH {_DOC_TOK_CTE}
+            """
+        + " UNION ALL ".join(
+            f"SELECT '{kind}' AS kind, CAST({i} AS INTEGER) AS idx, "
+            f"round({p}, 6) AS prob, "
+            f"round(quantile_cont(doclen, {p}), 6) AS value FROM docstats"
+            for kind, probs in (
+                ("cutoff", [i / 4 for i in range(1, 4)]),
+                ("weight", [i / 4 + 1 / 8 for i in range(4)]),
+            )
+            for i, p in enumerate(probs)
+        ),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

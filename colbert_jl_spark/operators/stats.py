@@ -1,0 +1,98 @@
+"""Sampling, quantiles and prefix-sum operators — the remaining A/I-layer
+analogues (SURVEY.md §2.4, §2.6).
+
+* ``sample_docs``     — A1 `_sample_pids` (reference
+  src/indexing/collection_indexer.jl:17-24): uniform sample of
+  min(1 + ⌊16·√(120·N)⌋, N) docs, seeded. Distributed `df.sample` with a
+  limit-correction (sample is Bernoulli per-row; the reference's exact-n
+  draw maps to sample(fraction·margin) → limit(n)).
+* ``heldout_split``   — A3 `_heldout_split` (collection_indexer.jl:81-91):
+  seeded randomSplit 95/5 with the reference's min(50k, 5%) cap applied
+  to the heldout side.
+* ``doclen_quantiles``— A5 `_bucket_cutoffs_and_weights`
+  (collection_indexer.jl:141-152): EXACT quantiles at i/2^nbits (cutoffs)
+  and i/2^nbits + 1/2^(nbits+1) (weights). The reference computes these
+  over residuals; the engine's scalar distribution is doclen. Exact
+  `percentile` — never `approx_percentile` on a correctness path
+  (SURVEY.md §7 hard part (d)).
+* ``doc_offsets``     — I4 `_collect_embedding_id_offset`
+  (collection_indexer.jl:342-347): running prefix-sum of doclens in
+  doc_id order — the CSR offset layout as a window aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reference_sample_size(n_docs: int) -> int:
+    """min(1 + ⌊16·√(120·N)⌋, N) — the reference's sampling formula
+    (collection_indexer.jl:20-22)."""
+    return min(1 + int(16 * math.sqrt(120 * n_docs)), n_docs)
+
+
+def sample_docs(docs: DataFrame, seed: int = 42, n: int | None = None) -> DataFrame:
+    """Seeded uniform doc sample of the reference's size. Bernoulli sample
+    with 1.5x margin then limit(n) — one pass, no full shuffle."""
+    n_docs = docs.count()
+    if n is None:
+        n = reference_sample_size(n_docs)
+    if n >= n_docs:
+        return docs
+    fraction = min(1.0, 1.5 * n / n_docs)
+    return docs.sample(fraction=fraction, seed=seed).limit(n)
+
+
+def heldout_split(
+    docs: DataFrame, heldout_fraction: float = 0.05, seed: int = 42, cap: int = 50_000
+) -> tuple[DataFrame, DataFrame]:
+    """(train, heldout) — seeded randomSplit; heldout capped at
+    min(cap, fraction·N) like the reference (collection_indexer.jl:86-90)."""
+    train, heldout = docs.randomSplit([1.0 - heldout_fraction, heldout_fraction], seed)
+    return train, heldout.limit(cap)
+
+
+def doclen_quantiles(docstats: DataFrame, nbits: int = 2) -> DataFrame:
+    """(kind, idx, prob, value): exact quantiles of doclen at the
+    reference's cutoff probs i/2^nbits (i in 1..2^nbits-1) and weight
+    probs i/2^nbits + 1/2^(nbits+1) (i in 0..2^nbits-1)."""
+    k = 1 << nbits
+    cutoff_probs = [i / k for i in range(1, k)]
+    weight_probs = [i / k + 1 / (2 * k) for i in range(k)]
+    rows = []
+    for kind, probs in (("cutoff", cutoff_probs), ("weight", weight_probs)):
+        q = docstats.agg(
+            F.expr(
+                f"percentile(doclen, array({', '.join(str(p) for p in probs)}))"
+            ).alias("qs")
+        ).first()["qs"]
+        rows.extend(
+            (kind, i, float(p), float(v)) for i, (p, v) in enumerate(zip(probs, q))
+        )
+    return docstats.sparkSession.createDataFrame(
+        rows, "kind string, idx int, prob double, value double"
+    )
+
+
+def doc_offsets(docstats: DataFrame) -> DataFrame:
+    """(doc_id, doclen, offset) — offset = Σ doclen of all smaller doc_ids
+    (CSR prefix-sum; the cumsum([1; head(x)]) pattern at
+    collection_indexer.jl:344-345 zero-based).
+
+    NOTE an unbounded orderBy window funnels through one task; at corpus
+    scale use the two-phase form: repartitionByRange(doc_id) →
+    per-partition partial sums → broadcast the per-partition totals'
+    cumulative sum back as base offsets (the distributed scan algorithm).
+    The window form is the correctness spec both implement."""
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docstats.select(
+        "doc_id",
+        "doclen",
+        F.coalesce(F.sum("doclen").over(w), F.lit(0)).cast("long").alias("offset"),
+    )

@@ -1,0 +1,105 @@
+"""Posting-construction semantics: the skew fixture (FIXTURES.md §6 —
+salted merge must equal the unsalted path on a corpus where one term
+appears in 100% of docs) and the _build_ivf-style exact grouping
+(reference test/indexing/collection_indexer.jl:286-305)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.operators.postings import posting_lists, term_df, term_postings
+from colbert_jl_spark.operators.stats import (
+    doc_offsets,
+    doclen_quantiles,
+    heldout_split,
+    reference_sample_size,
+    sample_docs,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """100 docs; 'omni' in every doc (max skew), 'rare' in one."""
+    rows = [
+        (i, "omni " + " ".join(f"w{j}" for j in range(i % 7)) + (" rare" if i == 42 else ""))
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_salted_merge_equals_unsalted(skewed):
+    cfg = EngineConfig(salt_buckets=8)
+    p = term_postings(skewed, cfg)
+    a = {r.term: r.postings for r in posting_lists(p, cfg, salted=True).collect()}
+    b = {r.term: r.postings for r in posting_lists(p, cfg, salted=False).collect()}
+    assert a.keys() == b.keys()
+    for t in a:
+        assert a[t] == b[t], f"term {t} differs"
+    # head term run covers all docs, sorted
+    omni = a["omni"]
+    assert [x.doc_id for x in omni] == list(range(100))
+
+
+def test_exact_grouping_small_fixture(spark):
+    """Analogue of the reference _build_ivf case: exact grouped, sorted
+    posting lists with exact df (codes=[5,3,8,2,5,5,4,2,2,1,3] style)."""
+    docs = spark.createDataFrame(
+        [(0, "b c"), (1, "b b d"), (2, "c"), (3, "d b")],
+        "doc_id long, text string",
+    )
+    cfg = EngineConfig()
+    pl = {r.term: r for r in posting_lists(term_postings(docs, cfg), cfg).collect()}
+    assert pl["b"].df == 3
+    assert [(x.doc_id, x.tf) for x in pl["b"].postings] == [(0, 1), (1, 2), (3, 1)]
+    assert [(x.doc_id, x.tf) for x in pl["c"].postings] == [(0, 1), (2, 1)]
+    assert pl["d"].df == 2
+
+
+def test_dictionary_invariant(skewed):
+    """sum(df) == #postings — the reference's sum(ivf_lengths) check
+    (test/indexing/collection_indexer.jl:299-300)."""
+    cfg = EngineConfig()
+    p = term_postings(skewed, cfg)
+    d = term_df(p)
+    assert d.agg(F.sum("df")).first()[0] == p.count()
+
+
+def test_sampling_operators(spark, docs01):
+    n = docs01.count()
+    want = reference_sample_size(n)
+    s = sample_docs(docs01, seed=42)
+    assert s.count() <= want
+    assert s.count() >= min(want, int(0.5 * want))  # Bernoulli margin holds easily
+    # deterministic under a fixed seed
+    assert sorted(r.doc_id for r in s.collect()) == sorted(
+        r.doc_id for r in sample_docs(docs01, seed=42).collect()
+    )
+    train, held = heldout_split(docs01, 0.05, seed=42)
+    assert train.count() + held.count() == n
+    assert held.count() < 0.15 * n
+
+
+def test_doc_offsets_prefix_sum(spark):
+    from colbert_jl_spark.operators.docstats import doclens
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.doclen, r.offset) for r in doc_offsets(doclens(docs)).collect()}
+    assert out == {0: (2, 0), 1: (1, 2), 2: (4, 3)}
+
+
+def test_doclen_quantiles_exact(spark):
+    from colbert_jl_spark.operators.docstats import doclens
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(8)],
+        "doc_id long, text string",
+    )  # doclens 1..8
+    q = {(r.kind, r.idx): r.value for r in doclen_quantiles(doclens(docs), nbits=1).collect()}
+    # nbits=1: cutoff probs [0.5] → median of 1..8 = 4.5; weights [0.25, 0.75]
+    assert q[("cutoff", 0)] == pytest.approx(4.5)
+    assert q[("weight", 0)] == pytest.approx(2.75)
+    assert q[("weight", 1)] == pytest.approx(6.25)
