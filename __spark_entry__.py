@@ -263,6 +263,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage demos (SURVEY §2.8 shapes: agg, join, top-k)
 # ---------------------------------------------------------------------------
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint per-row invariant as a driver-checked query: wrap
+    documents into the pages shape (html = fixed template around text) and
+    run the vectorized extract UDF; the oracle simply returns (url, text),
+    so ANY byte deviation in extraction hash-mismatches."""
+    from colbert_jl_spark.functions.tokenizer import extract_text
+    from colbert_jl_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return pages.select("url", extract_text("html").alias("text"))
+
+
 def q_doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR prefix-sum offsets (SURVEY §2.6 I4 analogue — window agg)."""
     from colbert_jl_spark.operators.docstats import doclens
@@ -402,6 +414,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_top_customers": q_join_top_customers,
         "doc_offsets": q_doc_offsets,
         "doclen_quantiles": q_doclen_quantiles,
+        "extract_text": q_extract_text,
     }
 
 
@@ -494,6 +507,13 @@ def _extra_oracles() -> dict[str, str]:
                            (a, c) -> (a * 131 + c) % 2147483647))),
                      (acc, th) -> (acc * 31 + th) % 2147483647) AS fingerprint
             FROM rawtok
+        """,
+        # extraction is required to be the byte-identity inverse of the
+        # page template, so the oracle is simply the source text per url
+        "extract_text": """
+            SELECT printf('https://example.org/doc/%08d', doc_id) AS url,
+                   text
+            FROM documents
         """,
         "doc_offsets": f"""
             WITH {_DOC_TOK_CTE}

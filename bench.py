@@ -32,8 +32,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 192 copies of sf0.1 documents = ~960k docs: sized so the parallelizable
-# compute dominates the ~25s per-session JVM floor (codegen, worker spawn,
-# commit protocol), which a multi-hour production build amortizes to zero
+# compute dominates the ~10s per-session JVM floor (codegen, worker spawn,
+# commit protocol), which a multi-hour production build amortizes to zero,
+# while per-partition sorts stay in memory at the low-core run
 SCALE_COPIES = int(os.environ.get("BENCH_SCALE_COPIES", "192"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "5"))
 
@@ -203,9 +204,22 @@ def main() -> None:
         # executors via spark-submit.
         hi = int(os.environ.get("BENCH_SCALE_CORES_HI", str(min(8, CPUS))))
         lo = max(1, hi // 4)
-        r_lo = _scale_run_subprocess(lo, SCALE_COPIES, os.path.join(work, "idx_lo"))
+        reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+
+        def best_run(cores: int, tag: str) -> dict:
+            # best-of-N damps the sandbox's host-side load swings (the VM
+            # shares physical cores; single runs vary up to 2x)
+            runs = [
+                _scale_run_subprocess(
+                    cores, SCALE_COPIES, os.path.join(work, f"idx_{tag}{i}")
+                )
+                for i in range(reps)
+            ]
+            return min(runs, key=lambda r: r["build_sec"])
+
+        r_lo = best_run(lo, "lo")
         log(f"scaling local[{lo}]: {r_lo}")
-        r_hi = _scale_run_subprocess(hi, SCALE_COPIES, os.path.join(work, "idx_hi"))
+        r_hi = best_run(hi, "hi")
         log(f"scaling local[{hi}]: {r_hi}")
         sn = r_hi["n_docs"]
 
@@ -260,7 +274,11 @@ def scale_run(cores: int, copies: int, index_dir: str) -> None:
     The scaled corpus is materialized to parquet BEFORE the timed section —
     re-scanning a 48-way union per stage would bench the test-data
     generator, not the engine."""
-    spark = _fresh_spark(f"local[{cores}]", cores)
+    # shuffle partitions track cores (how a real cluster sizes them to
+    # total executor cores); above ~1.5M docs per 2 cores raise them via
+    # SPARK_SHUFFLE_PARTITIONS to keep per-partition sorts in memory
+    sp = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cores)))
+    spark = _fresh_spark(f"local[{cores}]", sp)
     corpus_dir = os.path.join(os.path.dirname(index_dir), f"corpus_{copies}")
     if not os.path.exists(corpus_dir):
         docs, n = _scaled_docs(spark, copies)

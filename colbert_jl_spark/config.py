@@ -57,7 +57,22 @@ class EngineConfig:
     doc_maxlen: int = 300
     block_size: int = 128
     num_index_partitions: int = 32
+    # floor on docs per doc-range bucket: below this, more buckets only add
+    # per-group overhead (each (term,bucket) is a pandas group at build and
+    # each (qid,bucket) one at query time). 50k docs ≈ a few MB of postings
+    # per head-term group — comfortably Arrow-batch sized.
+    min_bucket_docs: int = 50_000
     salt_buckets: int = 8
+    # Block storage format; both are served by the same WAND executor and
+    # rank-identity gated:
+    # "varint":   hand-packed delta+varint bytes built in applyInPandas —
+    #             the custom-codec path; measured fastest on this box.
+    # "columnar": 100% JVM encode (window + per-block collect_list),
+    #             parquet page encodings do the bit-packing. Keeps the
+    #             whole build Python-free; on a single box both formats
+    #             are bound by the same posting shuffle, so pick by
+    #             cluster policy (Python-free ops vs smaller payloads).
+    block_format: str = "varint"
     stopwords: tuple[str, ...] = field(default=STOPWORDS)
     token_split_re: str = TOKEN_SPLIT_RE
     top_k: int = 10

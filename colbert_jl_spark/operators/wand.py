@@ -61,7 +61,14 @@ class _TermCursor:
         self.firsts = blocks["first_docid"].to_numpy(dtype=np.int64)
         self.lasts = blocks["last_docid"].to_numpy(dtype=np.int64)
         self.maxes = blocks["max_score"].to_numpy(dtype=np.float64)
-        self.payloads = blocks["payload"].tolist()
+        if "payload" in blocks.columns:
+            # varint format: lazy byte decode per block
+            self.payloads = blocks["payload"].tolist()
+        else:
+            # columnar format: (doc_gaps, tfs, doclens) array columns
+            self.payloads = list(
+                zip(blocks["doc_gaps"], blocks["tfs"], blocks["doclens"])
+            )
         self.bi = 0
         self.docids = None
         self.pos = 0
@@ -71,7 +78,17 @@ class _TermCursor:
 
     def _ensure_decoded(self) -> None:
         if self.docids is None and self.bi < len(self.payloads):
-            d, t, l = decode_block(self.payloads[self.bi])
+            p = self.payloads[self.bi]
+            if isinstance(p, (bytes, bytearray)):
+                d, t, l = decode_block(bytes(p))
+            else:
+                gaps, tfs, dls = p
+                d = np.asarray(gaps, dtype=np.int64).cumsum()
+                # re-anchor at the block's skip pointer: the first gap is
+                # relative to the previous BLOCK's last doc (or arbitrary)
+                d += self.firsts[self.bi] - d[0]
+                t = np.asarray(tfs, dtype=np.int64)
+                l = np.asarray(dls, dtype=np.int64)
             self.docids, self.tfs, self.dls = d, t, l
             self.pos = 0
 
@@ -254,6 +271,7 @@ def wand_topk_inline(
     from colbert_jl_spark.operators.bm25 import query_terms
     from colbert_jl_spark.operators.codec_blocks import (
         posting_blocks,
+        posting_blocks_columnar,
         term_postings_with_doclen,
     )
     from colbert_jl_spark.operators.docstats import corpus_stats, doclens
@@ -262,6 +280,9 @@ def wand_topk_inline(
     stats = corpus_stats(doclens(docs, cfg))
     pdl = term_postings_with_doclen(docs, cfg)
     dictionary = term_df(pdl.select("term", "doc_id", "tf"))
-    blocks = posting_blocks(pdl, dictionary, stats["n_docs"], stats["avgdl"], cfg)
+    encode = (
+        posting_blocks_columnar if cfg.block_format == "columnar" else posting_blocks
+    )
+    blocks = encode(pdl, dictionary, stats["n_docs"], stats["avgdl"], cfg)
     qt = query_terms(queries, cfg)
     return wand_topk(blocks, qt, cfg, stats["avgdl"])

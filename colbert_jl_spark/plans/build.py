@@ -145,6 +145,7 @@ class IndexBuilder:
         accumulated in its ingest log instead."""
         from colbert_jl_spark.operators.codec_blocks import (
             posting_blocks,
+            posting_blocks_columnar,
             with_term_partition,
         )
         from colbert_jl_spark.operators.postings import term_df
@@ -173,7 +174,10 @@ class IndexBuilder:
                 "n_empty_docs": n_empty,
                 "avgdl": (row["tot"] or 0) / n_total if n_total else 0.0,
                 "total_tokens": row["tot"] or 0,
-                "bucket_size": max(1, -(-n_total // self.cfg.num_index_partitions)),
+                "bucket_size": max(
+                    self.cfg.min_bucket_docs,
+                    -(-n_total // self.cfg.num_index_partitions),
+                ),
                 "config": json.loads(self.cfg.to_json()),
                 "format_version": 1,
             }
@@ -206,7 +210,12 @@ class IndexBuilder:
             plan["term_partitions"] = term_partitions
             with open(os.path.join(self.index_path, "plan.json"), "w") as f:
                 json.dump(plan, f, indent=2, sort_keys=True)
-            blocks = posting_blocks(
+            encode = (
+                posting_blocks_columnar
+                if self.cfg.block_format == "columnar"
+                else posting_blocks
+            )
+            blocks = encode(
                 postings,
                 dic.select("term", "df"),
                 plan["n_docs"],
@@ -229,10 +238,14 @@ class IndexBuilder:
         # -- stage: lineage (per doc-bucket build metrics) -------------------
         if "lineage" not in _load_stages(self.index_path):
             blocks = spark.read.parquet(os.path.join(self.index_path, "blocks"))
+            if "payload" in blocks.columns:  # varint format: exact bytes
+                byte_col = F.length("payload")
+            else:  # columnar: logical in-memory bytes (parquet packs further)
+                byte_col = F.col("n_docs") * F.lit(16)
             lineage = blocks.groupBy("bucket").agg(
                 F.sum("n_docs").alias("postings_emitted"),
                 F.count("*").alias("blocks_written"),
-                F.sum(F.length("payload")).alias("bytes_compressed"),
+                F.sum(byte_col).alias("bytes_compressed"),
                 F.countDistinct("term").alias("terms_seen"),
             )
             _atomic_write(lineage, os.path.join(self.index_path, "lineage"))

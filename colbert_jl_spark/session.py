@@ -57,6 +57,9 @@ def get_spark(
         # 128m is right — these are sized to the data, not the engine.
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.files.openCostInBytes", "1m")
+        # zstd shuffle/spill compression: the posting shuffle is the
+        # build's largest I/O; better ratio than lz4 at similar CPU
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -23,7 +23,9 @@ def index_dir(tmp_path):
 
 
 def test_build_search_matches_oracle(spark, docs01, index_dir):
-    cfg = EngineConfig(block_size=32)
+    # min_bucket_docs=64 → multiple doc-range buckets even at 500 docs, so
+    # the persisted path exercises the multi-bucket merge
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
     builder = IndexBuilder(index_dir, cfg)
     plan = builder.build(docs01)
     assert plan["n_docs"] == docs01.count()

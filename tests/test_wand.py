@@ -29,10 +29,14 @@ def test_wand_rank_identical_sf001(spark, docs01):
     _assert_rank_identical(oracle, wand)
 
 
-def test_wand_rank_identical_small_blocks(spark, docs01):
+@pytest.mark.parametrize("fmt", ["columnar", "varint"])
+def test_wand_rank_identical_small_blocks(spark, docs01, fmt):
     """Tiny blocks force many skip/pivot decisions (stress the BMW logic);
-    small salt count stresses the bucket merge."""
-    cfg = EngineConfig(block_size=8, num_index_partitions=7)
+    small salt count stresses the bucket merge; both block formats must be
+    served identically by the executor."""
+    cfg = EngineConfig(
+        block_size=8, num_index_partitions=7, min_bucket_docs=1, block_format=fmt
+    )
     q = queries_df(spark)
     oracle = bm25_topk(docs01, q, cfg).toPandas()
     wand = wand_topk_inline(spark, docs01, q, cfg).toPandas()
@@ -58,7 +62,7 @@ def test_wand_on_synthetic_needles(spark):
         [StructField("qid", LongType()), StructField("query", StringType())]
     )
     q = spark.createDataFrame([(0, needle_term), (1, "w0 w1 w2")], schema)
-    cfg = EngineConfig(block_size=16)
+    cfg = EngineConfig(block_size=16, min_bucket_docs=50)
     oracle = bm25_topk(docs, q, cfg).toPandas()
     wand = wand_topk_inline(spark, docs, q, cfg).toPandas()
     _assert_rank_identical(oracle, wand)
