@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Query entrypoint — run via spark-submit against a built index:
+
+    spark-submit --py-files colbert_jl_spark.zip scripts/search_index.py \
+        --index <index root> --query "spark table join" [--k 10]
+
+Prints one JSON line per hit: {"rank": r, "doc_id": d, "score": s}.
+The analogue of the reference's Searcher/search round trip
+(reference src/searching.jl:18-128).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True, action="append",
+                    help="repeatable; each becomes one qid")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from colbert_jl_spark.plans.build import IndexReader
+    from colbert_jl_spark.session import get_spark
+
+    spark = get_spark("colbert-search", master=args.master)
+    schema = StructType(
+        [StructField("qid", LongType()), StructField("query", StringType())]
+    )
+    q = spark.createDataFrame(list(enumerate(args.query)), schema)
+    reader = IndexReader(spark, args.index)
+    for row in reader.search(q, args.k).orderBy("qid", "rank").collect():
+        print(json.dumps(
+            {"qid": row.qid, "rank": row.rank, "doc_id": row.doc_id, "score": row.score}
+        ))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
