@@ -186,6 +186,15 @@ def main() -> None:
             per_query[f"q{qid}"] = round(best, 4)
             lat_all.extend(times)
         lat_all.sort()
+        # hot serving mode: blocks pinned in executor memory
+        reader.load_hot()
+        hot_times = []
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            reader.search([(0, QUERY_SET[0][1])]).collect()
+            hot_times.append(time.perf_counter() - t0)
+        hot_p50 = sorted(hot_times)[len(hot_times) // 2]
+        log(f"hot single-query p50: {hot_p50:.3f}s")
         suite_sec = sum(per_query.values())
         qps = len(QUERY_SET) / suite_sec if suite_sec else 0.0
         p50 = lat_all[len(lat_all) // 2]
@@ -245,6 +254,7 @@ def main() -> None:
                 "qps_sequential": round(qps, 2),
                 "p50_latency_sec": round(p50, 4),
                 "p99_latency_sec": round(p99, 4),
+                "hot_p50_latency_sec": round(hot_p50, 4),
                 "scaling": {
                     "input_docs": sn,
                     f"local[{lo}]": {

@@ -109,6 +109,29 @@ def terms_col(
     return F.filter(toks, lambda t: ~t.isin(*stopwords))
 
 
+_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
+
+
+def py_tokens(text: str, doc_maxlen: int | None = None) -> list[str]:
+    """Driver-side Python mirror of ``tokens_col`` — MUST stay
+    byte-identical to the Catalyst expression (property-gated in
+    tests/test_tokenizer.py). Used for query tokenization, which is tiny
+    driver-side data (the reference also encodes queries driver-side,
+    reference src/modelling/checkpoint.jl:271-301)."""
+    toks = [t for t in _PY_SPLIT.split(text.lower()) if t]
+    return toks[:doc_maxlen] if doc_maxlen is not None else toks
+
+
+def py_terms(
+    text: str,
+    doc_maxlen: int | None = None,
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> list[str]:
+    """Driver-side mirror of ``terms_col`` (truncate THEN stoplist)."""
+    stop = set(stopwords)
+    return [t for t in py_tokens(text, doc_maxlen) if t not in stop]
+
+
 def doclen_col(
     text: Column | str,
     doc_maxlen: int | None = None,

@@ -279,10 +279,6 @@ class IndexReader:
         )
 
     @property
-    def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_path, "blocks"))
-
-    @property
     def dictionary(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_path, "dictionary"))
 
@@ -294,41 +290,67 @@ class IndexReader:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_path, "lineage"))
 
-    def search(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame | list[tuple[int, str]],
+        k: int | None = None,
+    ) -> DataFrame:
         """Top-k via block-max WAND over the persisted block table —
         the ``search(searcher, query, k)`` analogue
         (reference src/searching.jl:93-128).
 
-        The query-term set is tiny by definition, so it is collected and
-        pushed as literal IN-filters on (term_bucket, term): term_bucket
-        prunes whole partition DIRECTORIES; the term filter hits parquet
-        row-group min/max stats (blocks are term-sorted at write). This is
-        the engine's nprobe analogue — only the touched posting lists are
-        read (reference ranking.jl:30-36)."""
-        from colbert_jl_spark.operators.bm25 import query_terms
+        Queries are tokenized DRIVER-side (tiny by definition; the
+        reference also encodes queries driver-side,
+        reference src/modelling/checkpoint.jl:271-301) with the python
+        mirror of the frozen tokenizer, and term_bucket partition filters
+        are computed with the pure-python xxhash64 clone — so NO Spark job
+        runs before the single query DAG. The (term_bucket, term)
+        IN-filters prune partition DIRECTORIES and parquet row groups —
+        the engine's nprobe analogue (reference ranking.jl:30-36).
+
+        ``queries`` may be a DataFrame (qid, query) — collected, it is
+        driver data anyway — or a list of (qid, query) pairs."""
+        from collections import Counter
+
+        from colbert_jl_spark.functions.hashing import spark_pmod_hash
+        from colbert_jl_spark.functions.tokenizer import py_terms
         from colbert_jl_spark.operators.wand import wand_topk
 
-        qt = query_terms(queries, self.cfg)
-        tp = self.plan.get("term_partitions")
-        rows = (
-            qt.select("term")
-            .distinct()
-            .withColumn(
-                "term_bucket",
-                F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int") if tp else F.lit(0),
-            )
-            .collect()
-        )
-        if not rows:
+        if isinstance(queries, DataFrame):
+            queries = [(r["qid"], r["query"]) for r in queries.collect()]
+        qt_rows = []
+        for qid, qtext in queries:
+            for term, qtf in Counter(py_terms(qtext, None, self.cfg.stopwords)).items():
+                qt_rows.append((int(qid), term, int(qtf)))
+        if not qt_rows:
             return self.spark.createDataFrame(
                 [], "qid long, rank int, doc_id long, score double"
             )
-        terms = [r["term"] for r in rows]
+        qt = self.spark.createDataFrame(qt_rows, "qid long, term string, qtf long")
+        terms = sorted({t for _, t, _ in qt_rows})
         blocks = self.blocks.where(F.col("term").isin(terms))
+        tp = self.plan.get("term_partitions")
         if tp:
-            buckets = sorted({r["term_bucket"] for r in rows})
+            buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
             blocks = blocks.where(F.col("term_bucket").isin(buckets))
         return wand_topk(blocks, qt, self.cfg, self.plan["avgdl"], k)
+
+    def load_hot(self) -> "IndexReader":
+        """Serving mode: pin the block table in executor memory so repeated
+        queries skip the parquet scan — the closest analogue of the
+        reference Searcher holding the whole index in RAM
+        (reference src/loaders.jl:91-113), but distributed and optional."""
+        if not hasattr(self, "_hot_blocks"):
+            b = self.blocks.cache()
+            b.count()  # materialize
+            self._hot_blocks = b
+        return self
+
+    @property
+    def blocks(self) -> DataFrame:
+        if hasattr(self, "_hot_blocks"):
+            return self._hot_blocks
+        return self.spark.read.parquet(os.path.join(self.index_path, "blocks"))
 
     def validate(self) -> dict:
         """Cross-stage invariants — the _check_all_files_are_saved analogue

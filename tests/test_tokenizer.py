@@ -52,6 +52,46 @@ def test_doc_maxlen_truncation(spark):
     assert got2 == []  # first 10 tokens are all 'the' → stoplisted away
 
 
+def test_python_mirror_equals_catalyst(spark, docs001):
+    """py_tokens/py_terms (driver-side query tokenization) must be
+    byte-identical to the Catalyst expressions over real corpus text."""
+    from colbert_jl_spark.functions.tokenizer import py_terms, py_tokens
+
+    rows = docs001.select(
+        "text",
+        tokens_col("text", 300).alias("toks"),
+        terms_col("text", 300).alias("terms"),
+    ).collect()
+    for r in rows:
+        assert py_tokens(r.text, 300) == r.toks
+        assert py_terms(r.text, 300) == r.terms
+    for text, want_toks, want_terms in CASES:
+        assert py_tokens(text) == want_toks
+        assert py_terms(text) == want_terms
+
+
+def test_python_xxhash64_equals_spark(spark):
+    """The pure-python xxhash64 clone (query-time partition pruning) must
+    be bit-identical to F.xxhash64 across length classes (0..100 bytes)."""
+    import random
+    import string
+
+    from colbert_jl_spark.functions.hashing import spark_pmod_hash, spark_xxhash64
+
+    rng = random.Random(11)
+    samples = ["", "a", "ab", "abc", "abcd", "x" * 31, "x" * 32, "x" * 33] + [
+        "".join(rng.choices(string.ascii_lowercase + string.digits, k=rng.randint(1, 100)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s", F.xxhash64("s").alias("h"), F.pmod(F.xxhash64("s"), F.lit(64)).alias("b")
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(r.s) == r.h, r.s
+        assert spark_pmod_hash(r.s, 64) == r.b, r.s
+
+
 def test_doclen_matches_terms(spark, docs001):
     cfg = EngineConfig()
     df = docs001.select(
