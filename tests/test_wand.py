@@ -43,6 +43,30 @@ def test_wand_rank_identical_small_blocks(spark, docs01, fmt):
     _assert_rank_identical(oracle, wand)
 
 
+def test_wand_duplicate_query_terms(spark, docs01):
+    """qtf > 1: a repeated query term multiplies its contribution in both
+    the oracle and WAND (reference analogue: repeated query tokens each
+    contribute a MaxSim row). Also pins score relation: score('data data')
+    = 2 x score('data') per doc."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("qid", LongType()), StructField("query", StringType())]
+    )
+    q = spark.createDataFrame(
+        [(0, "data"), (1, "data data"), (2, "data data table")], schema
+    )
+    cfg = EngineConfig()
+    oracle = bm25_topk(docs01, q, cfg).toPandas()
+    wand = wand_topk_inline(spark, docs01, q, cfg).toPandas()
+    _assert_rank_identical(oracle, wand)
+    s1 = oracle[oracle.qid == 0].set_index("doc_id").score
+    s2 = oracle[oracle.qid == 1].set_index("doc_id").score
+    shared = s1.index.intersection(s2.index)
+    assert len(shared) >= 5
+    assert ((s2[shared] - 2 * s1[shared]).abs() < 2e-6).all()
+
+
 def test_wand_on_synthetic_needles(spark):
     """Synthetic Zipf corpus with needle markers: the needle query's top hit
     must be its host doc (exact-hit fixture, FIXTURES.md §2)."""
