@@ -75,6 +75,43 @@ def test_tokenize_path_is_whole_stage_codegen(spark, docs001):
     assert "explode(filter(slice(filter(split(lower(" in plan, plan
 
 
+def test_no_per_row_python_anywhere(spark, docs001):
+    """input_hint: vectorized UDFs only, no per-row Python. BatchEvalPython
+    (row-at-a-time UDF) must appear in NO operator's plan; the dedup/
+    similarity/text-quality paths must additionally be 100% JVM (not even
+    Arrow-batched Python)."""
+    from colbert_jl_spark.functions.text_quality import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+    )
+    from colbert_jl_spark.operators.bm25 import bm25_topk
+    from colbert_jl_spark.operators.dedup import minhash_lsh_pairs, simhash64
+    from colbert_jl_spark.operators.similarity import cosine_topk
+    from colbert_jl_spark.queries import queries_df
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qembedding")
+    )
+    jvm_only = [
+        bm25_topk(docs001, queries_df(spark), EngineConfig()),
+        minhash_lsh_pairs(docs001.select("doc_id", "text"), 3, 0.8),
+        simhash64(docs001.select("doc_id", "text")),
+        cosine_topk(emb, qv, 3),
+        docs001.select(
+            lang_id_col("text"), quality_score_col("text"), fingerprint_col("text")
+        ),
+    ]
+    for df in jvm_only:
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "MapInPandas" not in plan
+
+
 def test_index_search_prunes_partitions(spark, docs001, tmp_path):
     """The persisted-index search must hit only the term_bucket partition
     directories of the query's terms (the nprobe analogue), visible as a
