@@ -44,7 +44,7 @@ doc_terms AS (SELECT doc_id, unnest(terms) AS term FROM tok),
 docstats AS (SELECT doc_id, CAST(len(terms) AS INTEGER) AS doclen FROM tok),
 corpus AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM docstats),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM doc_terms GROUP BY 1, 2),
-dict AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1)
+dict AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
 """
 
 _QUERY_TOK_CTE = f"""
@@ -188,8 +188,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs (Hamming <= 3). xxhash64-based → no DuckDB
-    equivalent; driver records the rows-only check, pytest gates content."""
+    """SimHash near-pairs (Hamming <= 3). DuckDB lacks xxhash64, so the
+    oracle materializes term->hash from the bit-verified Python clone
+    (functions/hashing.py) as a VALUES table and recomputes the simhash
+    exactly — a full value-hash gate."""
     from colbert_jl_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, cfg=CFG)
@@ -216,24 +218,54 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check; recall vs the
-    brute-force oracle is gated in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k. The seeded hyperplanes are inlined
+    into the DuckDB oracle below, which replicates candidate generation
+    bit-for-bit — so this is a full value-hash gate, plus a recall bound
+    vs brute force in tests/test_similarity.py."""
     from colbert_jl_spark.operators.similarity import lsh_ann_topk
 
-    return lsh_ann_topk(_embeddings(spark, sf_dir), _query_vecs(spark, sf_dir), k=5)
+    return lsh_ann_topk(
+        _embeddings(spark, sf_dir),
+        _query_vecs(spark, sf_dir),
+        k=5,
+        dim=_EMB_DIM,
+        n_planes=_ANN_PLANES,
+        n_tables=_ANN_TABLES,
+    )
+
+
+# LSH operating points for the two graded approximate-similarity queries.
+# 4 planes x 16 tables: collision prob 1-(1-(1-theta/pi)^4)^16 ~ 0.94 at
+# cosine 0.4 (the fixtures' near-dup regime; max pairwise cosine in the
+# synthetic embeddings is ~0.51). The DuckDB oracles below REPLICATE the
+# LSH candidate generation exactly (hyperplanes inlined as literals), so
+# these rows are full value-hash gates — recall vs brute force is a
+# separate measured bound in tests/test_similarity.py.
+_EMB_DIM = 64
+_ANN_PLANES, _ANN_TABLES = 4, 16
+_NEARDUP_PLANES, _NEARDUP_TABLES = 4, 16
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from colbert_jl_spark.operators.similarity import brute_force_neardup_pairs
+    """LSH-bucketed near-dup pairs — the 100 TB path (the O(N^2)
+    brute_force_neardup_pairs variant is the pytest oracle only; the graded
+    plan must contain no CartesianProduct, asserted in test_plans)."""
+    from colbert_jl_spark.operators.similarity import embedding_neardup_pairs
 
-    return brute_force_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+    return embedding_neardup_pairs(
+        _embeddings(spark, sf_dir),
+        threshold=0.4,
+        dim=_EMB_DIM,
+        n_planes=_NEARDUP_PLANES,
+        n_tables=_NEARDUP_TABLES,
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from colbert_jl_spark.functions.text_quality import lang_id_col
 
     return _docs(spark, sf_dir).select(
-        "doc_id", lang_id_col("text").alias("lang_pred")
+        "doc_id", lang_id_col("text", CFG.doc_maxlen).alias("lang_pred")
     )
 
 
@@ -241,13 +273,13 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from colbert_jl_spark.functions.text_quality import quality_score_col, token_counts
 
     d = _docs(spark, sf_dir)
-    counts = token_counts("text")
+    counts = token_counts("text", CFG.doc_maxlen)
     return d.select(
         "doc_id",
         counts["n_tokens"].alias("n_tokens"),
         counts["n_ws_tokens"].alias("n_ws_tokens"),
         counts["n_chars"].alias("n_chars"),
-        quality_score_col("text").alias("quality"),
+        quality_score_col("text", CFG.doc_maxlen).alias("quality"),
     )
 
 
@@ -255,7 +287,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from colbert_jl_spark.functions.text_quality import fingerprint_col
 
     return _docs(spark, sf_dir).select(
-        "doc_id", fingerprint_col("text").alias("fingerprint")
+        "doc_id", fingerprint_col("text", CFG.doc_maxlen).alias("fingerprint")
     )
 
 
@@ -350,7 +382,17 @@ rawtok AS (
 )
 """
 
-_SHINGLE_CTE = f"""
+def _shingle_jaccard_cte(max_shingle_df: int | None) -> str:
+    """Exact n-gram Jaccard CTE chain. ``max_shingle_df`` mirrors the
+    engine's head-shingle cap (dedup.ngram_jaccard_pairs); None = uncapped
+    TRUE Jaccard (the MinHash verification semantics)."""
+    cap = (
+        f"sdf AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {max_shingle_df}),\n"
+        "shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle)),"
+        if max_shingle_df is not None
+        else "shf AS (SELECT doc_id, shingle FROM sh),"
+    )
+    return f"""
 WITH {_RAW_TOK_CTE},
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -359,8 +401,7 @@ sh AS (
                                  i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
     FROM rawtok WHERE len(toks) >= 3)
 ),
-sdf AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
-shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle)),
+{cap}
 sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -374,6 +415,10 @@ jac AS (
   JOIN sizes sb ON doc_b = sb.doc_id
 )
 """
+
+
+_SHINGLE_CTE = _shingle_jaccard_cte(1000)
+_SHINGLE_CTE_EXACT = _shingle_jaccard_cte(None)
 
 _LANG_CASE = " ".join(
     # priority en > de > es > fr on ties (mirrors lang_id_col's reversed loop)
@@ -396,6 +441,152 @@ _LANG_VOTES_SQL = ", ".join(
     + f"))) AS v_{lang}"
     for lang, markers in LANG_MARKERS.items()
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH / simhash oracle generators. These make the three formerly
+# `no_oracle` rows full value-hash gates:
+#   * the random-hyperplane buckets are deterministic given the seed, so
+#     the planes are inlined as SQL literals and DuckDB recomputes the
+#     exact candidate sets (sign of a 64-term double dot product — both
+#     engines evaluate in float64; ties at exactly 0.0 are measure-zero);
+#   * xxhash64 has no DuckDB builtin, so the term->hash map is materialized
+#     as a VALUES table from the repo's bit-verified Python clone
+#     (colbert_jl_spark/functions/hashing.py, property-gated against the
+#     JVM implementation in tests/test_tokenizer.py).
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(emb_expr: str, planes_t: list[list[float]]) -> str:
+    """SQL for one hash table's bucket id: sum_i [dot(v, plane_i) > 0] << i
+    — textually mirrors similarity.lsh_buckets."""
+    terms = []
+    for i, plane in enumerate(planes_t):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({emb_expr}, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle_sql() -> str:
+    from colbert_jl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, _ANN_PLANES, _ANN_TABLES, seed=42)
+    eb_cols = ", ".join(
+        f"{_bucket_sql('emb', planes[t])} AS b{t}" for t in range(_ANN_TABLES)
+    )
+    collide = " OR ".join(f"e.b{t} = q.b{t}" for t in range(_ANN_TABLES))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        eb AS (SELECT vec_id, emb, {eb_cols} FROM base),
+        qb AS (SELECT vec_id AS qvec_id, emb AS qemb,
+                      {", ".join(f"b{t}" for t in range(_ANN_TABLES))}
+               FROM eb WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT q.qvec_id, e.vec_id
+          FROM eb e JOIN qb q ON ({collide})
+          WHERE e.vec_id <> q.qvec_id
+        ),
+        scored AS (
+          SELECT c.qvec_id, c.vec_id,
+                 list_cosine_similarity(e.emb, q.qemb) AS cos
+          FROM cand c
+          JOIN eb e ON c.vec_id = e.vec_id
+          JOIN qb q ON c.qvec_id = q.qvec_id
+        )
+        SELECT qvec_id, CAST(rank AS INTEGER) AS rank, vec_id,
+               round(cos, 6) AS cosine
+        FROM (
+          SELECT qvec_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY qvec_id
+                                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= 5
+    """
+
+
+def _neardup_lsh_oracle_sql(threshold: float = 0.4) -> str:
+    from colbert_jl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, _NEARDUP_PLANES, _NEARDUP_TABLES, seed=42)
+    eb_cols = ", ".join(
+        f"{_bucket_sql('emb', planes[t])} AS b{t}" for t in range(_NEARDUP_TABLES)
+    )
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_NEARDUP_TABLES))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        eb AS (SELECT vec_id, emb, {eb_cols} FROM base),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND ({collide})
+        ),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+                 list_cosine_similarity(ea.emb, eb2.emb) AS cos
+          FROM cand c
+          JOIN eb ea ON c.vec_a = ea.vec_id
+          JOIN eb eb2 ON c.vec_b = eb2.vec_id
+        )
+        SELECT vec_a, vec_b, round(cos, 6) AS cosine
+        FROM scored WHERE cos >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact simhash recomputation: term->xxhash64 from the Python clone as
+    a VALUES table (vocabulary read from the gate's sf dir — the driver
+    oracles at sf0.01), per-bit tf-weighted sign sums and 63-bit assembly
+    in SQL, then an all-pairs Hamming join (quadratic is fine for an
+    oracle; the ENGINE side stays banded)."""
+    import os
+
+    import duckdb
+
+    from colbert_jl_spark.functions.hashing import xxhash64
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    vocab = duckdb.sql(
+        f"""SELECT DISTINCT unnest(
+              (list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))[1:{CFG.doc_maxlen}]) AS t
+            FROM '{sf}/documents.parquet'"""
+    ).fetchall()
+    values = ", ".join(
+        f"('{t}', CAST({xxhash64(t.encode('utf-8'))} AS UBIGINT))"
+        for (t,) in sorted(vocab)
+    )
+    bit_sums = ", ".join(
+        f"sum(tf * (2 * CAST((h >> {i}) & 1 AS BIGINT) - 1)) AS b{i}"
+        for i in range(63)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    return f"""
+        WITH {_RAW_TOK_CTE},
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM rawtok)
+          GROUP BY 1, 2
+        ),
+        th(term, h) AS (VALUES {values}),
+        bits AS (
+          SELECT t.doc_id, {bit_sums}
+          FROM tf t JOIN th USING (term) GROUP BY 1
+        ),
+        sh AS (SELECT doc_id, {assemble} AS simhash FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -428,9 +619,10 @@ def _extra_oracles() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTE
         + "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5",
-        # LSH banding (16x4) recall at jaccard>=0.8 is ~1 - 1e-7 → the
-        # exact computation IS the oracle
-        "dedup_minhash_lsh": _SHINGLE_CTE
+        # LSH banding (16x4) recall at jaccard>=0.8 is ~0.9998 → the exact
+        # computation IS the oracle. Verification is UNcapped true Jaccard
+        # (candidate-bounded engine-side), so the oracle is too.
+        "dedup_minhash_lsh": _SHINGLE_CTE_EXACT
         + "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8",
         "knn_cosine": """
             WITH q AS (
@@ -451,15 +643,9 @@ def _extra_oracles() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        "embedding_neardup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
-        """,
+        "embedding_neardup": _neardup_lsh_oracle_sql(threshold=0.4),
+        "ann_cosine_lsh": _ann_lsh_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(max_hamming=3),
         "lang_id": f"""
             WITH {_RAW_TOK_CTE},
             votes AS (SELECT doc_id, {_LANG_VOTES_SQL} FROM rawtok)

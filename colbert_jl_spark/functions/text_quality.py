@@ -35,18 +35,23 @@ def _isin_filter(markers: tuple[str, ...]):
     return lambda t: t.isin(*markers)
 
 
-def lang_votes(text: Column | str) -> dict[str, Column]:
-    toks = tokens_col(text)
+def lang_votes(text: Column | str, doc_maxlen: int | None = None) -> dict[str, Column]:
+    toks = tokens_col(text, doc_maxlen)
     return {
         lang: F.size(F.filter(toks, _isin_filter(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id_col(text: Column | str) -> Column:
+def lang_id_col(text: Column | str, doc_maxlen: int | None = None) -> Column:
     """Predicted language: argmax of marker votes, tie-break by list order,
-    'und' (undetermined) when no marker hits."""
-    votes = lang_votes(text)
+    'und' (undetermined) when no marker hits.
+
+    ``doc_maxlen`` truncates the token stream BEFORE voting — the same
+    truncation the indexing path applies (tokenizer.tokens_col), so the
+    operator and its oracle stay in lockstep on documents longer than
+    doc_maxlen tokens."""
+    votes = lang_votes(text, doc_maxlen)
     best = F.lit("und")
     best_n = F.lit(0)
     # iterate in REVERSE priority so earlier languages win ties (>=)
@@ -58,24 +63,26 @@ def lang_id_col(text: Column | str) -> Column:
     return best
 
 
-def token_counts(text: Column | str) -> dict[str, Column]:
-    """n_tokens (regex tokenizer), n_ws_tokens (whitespace split),
-    n_chars — the three counting conventions pipelines reconcile."""
+def token_counts(text: Column | str, doc_maxlen: int | None = None) -> dict[str, Column]:
+    """n_tokens (regex tokenizer, truncated at ``doc_maxlen`` like the
+    indexing path), n_ws_tokens (whitespace split, UNtruncated), n_chars —
+    the three counting conventions pipelines reconcile."""
     col = F.col(text) if isinstance(text, str) else text
     return {
-        "n_tokens": F.size(tokens_col(col)),
+        "n_tokens": F.size(tokens_col(col, doc_maxlen)),
         "n_ws_tokens": F.size(F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)),
         "n_chars": F.length(col),
     }
 
 
-def quality_score_col(text: Column | str) -> Column:
+def quality_score_col(text: Column | str, doc_maxlen: int | None = None) -> Column:
     """Composite quality in [0,1]: length band + stopword ratio band +
     mean-token-length band (the classic cheap web-text heuristics:
     too-short docs, stopword-free keyword stuffing, and run-on garbage all
-    score low). Frozen arithmetic, mirrored in the oracle SQL."""
+    score low). Frozen arithmetic, mirrored in the oracle SQL; ratios are
+    computed over the ``doc_maxlen``-truncated stream the index sees."""
     col = F.col(text) if isinstance(text, str) else text
-    toks = tokens_col(col)
+    toks = tokens_col(col, doc_maxlen)
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
@@ -97,15 +104,16 @@ def quality_score_col(text: Column | str) -> Column:
     return F.round((length_band + stop_band + len_band) / F.lit(3.0), 6)
 
 
-def fingerprint_col(text: Column | str) -> Column:
+def fingerprint_col(text: Column | str, doc_maxlen: int | None = None) -> Column:
     """Order-sensitive 31/131 polynomial rolling hash of the token stream
     mod 2^31-1 — a deterministic document fingerprint reproducible in any
     engine with 64-bit integers (the DuckDB oracle recomputes it exactly).
+    The stream is ``doc_maxlen``-truncated like every other text operator.
 
     fp(doc)  = fold(tokens, acc -> (acc*31 + th(t)) % p)
     th(term) = fold(chars,  acc -> (acc*131 + ascii(c)) % p)
     """
-    toks = tokens_col(text)
+    toks = tokens_col(text, doc_maxlen)
     term_hash = lambda t: F.aggregate(  # noqa: E731
         F.transform(
             F.sequence(F.lit(1), F.length(t)),

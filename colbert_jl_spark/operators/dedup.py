@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     cfg: EngineConfig = EngineConfig(),
     max_shingle_df: int = 1000,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ threshold.
 
@@ -78,23 +79,41 @@ def ngram_jaccard_pairs(
     degenerate head shingles (present in ~every doc) — they add candidate
     pairs without discriminating, and their join fan-out is quadratic in
     their document frequency (the dedup analogue of the head-term skew the
-    salted posting merge handles)."""
+    salted posting merge handles).
+
+    ``candidate_pairs`` (doc_a, doc_b) switches the operator into
+    verification mode (the MinHash-LSH second stage): the shingle table is
+    semi-joined to the candidate doc ids on BOTH sides and the pair stream
+    is semi-joined to the candidate pairs BEFORE the intersection groupBy,
+    so the aggregation's input is bounded by the candidates' shingles —
+    never the corpus-wide co-shingle product. In this mode the df cap is
+    disabled (exact Jaccard needs every shingle of the candidate docs)."""
     sh = doc_shingles(docs, n, cfg)
-    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    sh = sh.join(
-        F.broadcast(sh_df.where(F.col("sdf") <= max_shingle_df).select("shingle")),
-        "shingle",
-    )
+    if candidate_pairs is not None:
+        cand_docs = (
+            candidate_pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(candidate_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+    else:
+        sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        sh = sh.join(
+            F.broadcast(sh_df.where(F.col("sdf") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    pair_stream = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
+    if candidate_pairs is not None:
+        # restrict BEFORE the aggregation — Catalyst cannot push a
+        # post-groupBy join below the agg on its own
+        pair_stream = pair_stream.join(
+            candidate_pairs, ["doc_a", "doc_b"], "left_semi"
+        )
+    inter = pair_stream.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
@@ -162,8 +181,11 @@ def minhash_lsh_pairs(
 
     The band join is the scale path: docs collide only within identical
     (band_id, band_hash) buckets, so the shuffle is keyed by bucket, never
-    all-pairs. Verification reuses the exact shingle join but ONLY for
-    candidate pairs (semi-join pushdown)."""
+    all-pairs. Verification reuses the exact shingle join in candidate
+    mode: the shingle table is semi-joined to the candidate doc ids and
+    the co-shingle pair stream is semi-joined to the candidate pairs
+    BEFORE the intersection aggregation (see ngram_jaccard_pairs), so the
+    verify stage's cost is bounded by the candidate set, not the corpus."""
     rows_per_band = _N_PERM // _BANDS
     sigs = minhash_signatures(docs, n, cfg)
     bands = sigs.select(
@@ -197,12 +219,9 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, 0.0, cfg, max_shingle_df=1 << 30)
-    return (
-        candidates.join(exact, ["doc_a", "doc_b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return ngram_jaccard_pairs(
+        docs, n, threshold, cfg, candidate_pairs=candidates
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

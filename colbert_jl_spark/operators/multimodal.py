@@ -2,8 +2,12 @@
 
 A 100 TB training-data pipeline carries media as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample run
-as vectorized pandas transforms over ``mapInPandas`` so each Arrow batch is
-processed with numpy (no per-row Python).
+over ``mapInPandas`` so data moves in Arrow batches. Within a batch the
+per-PAYLOAD work is a Python loop by necessity — each payload is an opaque
+variable-size byte blob a real codec decodes one at a time — but the
+numeric work per payload (pixel/sample math) is numpy-vectorized, and
+nothing crosses the JVM/Python boundary per row (one Arrow crossing per
+batch).
 
 The container has no image/audio codecs (no PIL/ffmpeg/librosa), so the
 REAL decode step is stubbed behind a clearly-marked NotImplementedError —

@@ -157,11 +157,20 @@ def lsh_ann_topk(
         "table_id",
         "bucket",
     )
-    cands = (
-        base.join(F.broadcast(qb), ["table_id", "bucket"])
+    # dedup multi-table collisions on the ID PAIR only (shuffling the full
+    # embedding arrays through a distinct costs ~dim x 8 bytes per row for
+    # nothing), then re-attach vectors: the corpus side by join, the tiny
+    # query side by broadcast
+    cand_ids = (
+        base.select("vec_id", "table_id", "bucket")
+        .join(F.broadcast(qb.select("qvec_id", "table_id", "bucket")),
+              ["table_id", "bucket"])
         .where(F.col("vec_id") != F.col("qvec_id"))
-        .select("qvec_id", "qembedding", "vec_id", "embedding")
+        .select("qvec_id", "vec_id")
         .distinct()
+    )
+    cands = cand_ids.join(embeddings, "vec_id").join(
+        F.broadcast(query_vecs), "qvec_id"
     )
     scored = cands.withColumn(
         "cosine",
@@ -197,14 +206,25 @@ def embedding_neardup_pairs(
     verification. High-threshold pairs collide with overwhelming
     probability at 10 planes × 12 tables (miss ≈ (1-(1-θ/π)^10)^12 < 1%
     at cosine .95)."""
-    b = lsh_buckets(embeddings, dim, n_planes, n_tables)
-    a = b.select("table_id", "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    c = b.select("table_id", "bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    pairs = (
+    b = lsh_buckets(embeddings, dim, n_planes, n_tables).select(
+        "vec_id", "table_id", "bucket"
+    )
+    a = b.withColumnRenamed("vec_id", "vec_a")
+    c = b.withColumnRenamed("vec_id", "vec_b")
+    # candidate ID pairs first (dedup across tables shuffles only two
+    # longs per pair), vectors re-attached afterwards for verification
+    pair_ids = (
         a.join(c, ["table_id", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "emb_a", "vec_b", "emb_b")
+        .select("vec_a", "vec_b")
         .distinct()
+    )
+    pairs = pair_ids.join(
+        embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")),
+        "vec_a",
+    ).join(
+        embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
+        "vec_b",
     )
     scored = pairs.withColumn(
         "cosine",

@@ -104,10 +104,20 @@ class IndexBuilder:
 
     ``force=True`` rebuilds from scratch (clears the stage ledger) —
     otherwise completed stages are skipped (resume semantics).
-    """
+
+    ``sink`` is the table-commit seam: any callable
+    ``(df, final_dir, partition_by=None)`` that durably materializes a
+    DataFrame. Defaults to ``_atomic_write`` (parquet tmp→rename); on an
+    Iceberg catalog the same seam is ``df.writeTo(table).createOrReplace()``
+    — stage ordering, the _STAGES.json ledger, and resume semantics are
+    sink-agnostic (injection-gated in tests/test_build.py)."""
 
     index_path: str
     cfg: EngineConfig = EngineConfig()
+    sink: object = None
+
+    def _write(self, df: DataFrame, final_dir: str, partition_by: str | None = None) -> None:
+        (self.sink or _atomic_write)(df, final_dir, partition_by)
 
     def build(self, docs: DataFrame, force: bool = False) -> dict:
         from colbert_jl_spark.operators.codec_blocks import (
@@ -131,7 +141,7 @@ class IndexBuilder:
         postings_dir = os.path.join(self.index_path, "postings")
         if "postings" not in _load_stages(self.index_path):
             pdl = term_postings_with_doclen(docs, self.cfg)
-            _atomic_write(pdl, postings_dir)
+            self._write(pdl, postings_dir)
             _mark_stage(self.index_path, "postings")
 
         return self.finish_from_postings(spark, n_docs_total=docs.count())
@@ -161,7 +171,7 @@ class IndexBuilder:
             # (a metadata-only count), keeping N/avgdl exact WITHOUT an
             # anti-join shuffle over the corpus.
             seen = postings.select("doc_id", "doclen").distinct()
-            _atomic_write(seen, os.path.join(self.index_path, "docstats"))
+            self._write(seen, os.path.join(self.index_path, "docstats"))
             ds = spark.read.parquet(os.path.join(self.index_path, "docstats"))
             row = ds.agg(
                 F.count("*").alias("n"),
@@ -193,7 +203,7 @@ class IndexBuilder:
             dic = term_df(postings.select("term", "doc_id", "tf")).withColumn(
                 "idf", idf_col(F.col("df"), plan["n_docs"])
             )
-            _atomic_write(dic, os.path.join(self.index_path, "dictionary"))
+            self._write(dic, os.path.join(self.index_path, "dictionary"))
             _mark_stage(self.index_path, "dictionary")
 
         # -- stage: blocks ----------------------------------------------
@@ -230,7 +240,7 @@ class IndexBuilder:
             # stats on `term` stay tight; a repartition("term_bucket") here
             # would add a full shuffle whose 64-key hash skews badly at
             # high parallelism.
-            _atomic_write(
+            self._write(
                 blocks, os.path.join(self.index_path, "blocks"), "term_bucket"
             )
             _mark_stage(self.index_path, "blocks")
@@ -248,7 +258,7 @@ class IndexBuilder:
                 F.sum(byte_col).alias("bytes_compressed"),
                 F.countDistinct("term").alias("terms_seen"),
             )
-            _atomic_write(lineage, os.path.join(self.index_path, "lineage"))
+            self._write(lineage, os.path.join(self.index_path, "lineage"))
             _mark_stage(self.index_path, "lineage")
 
         return plan

@@ -65,6 +65,40 @@ def test_build_is_idempotent_and_resumable(spark, docs01, index_dir):
     assert reader.validate()["ok"]
 
 
+def test_sink_is_injectable(spark, docs01, index_dir):
+    """Stage commit/resume semantics must not depend on the tmp→rename
+    trick: a fake sink (direct parquet write, no rename; an Iceberg
+    ``writeTo`` would slot in the same way) produces a valid, resumable,
+    searchable index through the identical staged protocol."""
+    calls = []
+
+    def fake_sink(df, final_dir, partition_by=None):
+        calls.append((os.path.basename(final_dir), partition_by))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(final_dir)
+
+    cfg = EngineConfig(block_size=32)
+    builder = IndexBuilder(index_dir, cfg, sink=fake_sink)
+    builder.build(docs01)
+    assert [c[0] for c in calls] == ["postings", "docstats", "dictionary", "blocks", "lineage"]
+    assert dict(calls)["blocks"] == "term_bucket"
+
+    reader = IndexReader(spark, index_dir)
+    assert reader.validate()["ok"]
+    assert reader.search(queries_df(spark)).count() > 0
+
+    # resume goes through the SAME seam: only the dropped stage re-commits
+    stages = _load_stages(index_dir)
+    stages.pop("lineage")
+    with open(os.path.join(index_dir, "_STAGES.json"), "w") as f:
+        json.dump(stages, f)
+    calls.clear()
+    builder.build(docs01)
+    assert [c[0] for c in calls] == ["lineage"]
+
+
 def test_lineage_metrics(spark, docs01, index_dir):
     cfg = EngineConfig(block_size=32)
     IndexBuilder(index_dir, cfg).build(docs01)

@@ -70,8 +70,7 @@ def test_sampling_operators(spark, docs01):
     n = docs01.count()
     want = reference_sample_size(n)
     s = sample_docs(docs01, seed=42)
-    assert s.count() <= want
-    assert s.count() >= min(want, int(0.5 * want))  # Bernoulli margin holds easily
+    assert s.count() == want  # exact-n parity with the reference formula
     # deterministic under a fixed seed
     assert sorted(r.doc_id for r in s.collect()) == sorted(
         r.doc_id for r in sample_docs(docs01, seed=42).collect()
@@ -89,6 +88,26 @@ def test_doc_offsets_prefix_sum(spark):
     )
     out = {r.doc_id: (r.doclen, r.offset) for r in doc_offsets(doclens(docs)).collect()}
     assert out == {0: (2, 0), 1: (1, 2), 2: (4, 3)}
+
+
+def test_doc_offsets_matches_window_form_and_distributes(spark, docs01):
+    """Two-phase scan == the single-window spec on real data, and the
+    distributed plan contains NO single-partition Exchange (the round-1
+    one-task funnel)."""
+    from colbert_jl_spark.operators.docstats import doclens
+    from colbert_jl_spark.operators.stats import doc_offsets_window
+
+    dl = doclens(docs01).cache()
+    try:
+        dist = doc_offsets(dl, num_buckets=7)
+        ref = doc_offsets_window(dl)
+        key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert key(dist) == key(ref)
+        plan = dist._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "rangepartitioning" not in plan.lower() or "hashpartitioning" in plan.lower()
+    finally:
+        dl.unpersist()
 
 
 def test_doclen_quantiles_exact(spark):
