@@ -63,13 +63,17 @@ class EngineConfig:
     # per head-term group — comfortably Arrow-batch sized.
     min_bucket_docs: int = 50_000
     salt_buckets: int = 8
-    # Block storage format; both are served by the same WAND executor and
-    # rank-identity gated:
+    # Block storage format; all three are served by the same WAND executor
+    # and rank-identity gated (tests/test_wand.py parametrizes formats):
     # "varint":   hand-packed delta+varint bytes built in applyInPandas —
     #             the custom-codec path; measured fastest on this box.
+    # "packed":   PForDelta-style fixed-width bit-packing with exception
+    #             patching (functions/codec.py pack_stream) — the
+    #             capability analogue of the reference's true bit-packing
+    #             (residual.jl:400-441 _packbits/_unpackbits).
     # "columnar": 100% JVM encode (window + per-block collect_list),
     #             parquet page encodings do the bit-packing. Keeps the
-    #             whole build Python-free; on a single box both formats
+    #             whole build Python-free; on a single box all formats
     #             are bound by the same posting shuffle, so pick by
     #             cluster policy (Python-free ops vs smaller payloads).
     block_format: str = "varint"

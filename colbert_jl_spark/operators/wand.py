@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from colbert_jl_spark.config import EngineConfig
-from colbert_jl_spark.functions.codec import decode_block
+from colbert_jl_spark.functions.codec import decode_block, decode_block_packed
 
 _INF = np.iinfo(np.int64).max
 # wider than the 0.5e-6 rounding half-step of the 6-decimal output, so
@@ -49,11 +49,14 @@ class _TermCursor:
 
     __slots__ = (
         "qtf", "idf", "firsts", "lasts", "maxes", "payloads",
-        "bi", "docids", "tfs", "dls", "pos", "ub",
+        "bi", "docids", "tfs", "dls", "pos", "ub", "decoder",
     )
 
-    def __init__(self, qtf: float, idf: float, blocks: pd.DataFrame):
+    def __init__(
+        self, qtf: float, idf: float, blocks: pd.DataFrame, decoder=decode_block
+    ):
         blocks = blocks.sort_values("first_docid")
+        self.decoder = decoder
         self.qtf = qtf
         self.idf = idf
         self.firsts = blocks["first_docid"].to_numpy(dtype=np.int64)
@@ -78,7 +81,7 @@ class _TermCursor:
         if self.docids is None and self.bi < len(self.payloads):
             p = self.payloads[self.bi]
             if isinstance(p, (bytes, bytearray)):
-                d, t, l = decode_block(bytes(p))
+                d, t, l = self.decoder(bytes(p))
             else:
                 gaps, tfs, dls = p
                 d = np.asarray(gaps, dtype=np.int64).cumsum()
@@ -158,7 +161,8 @@ class _TermCursor:
 
 
 def _wand_one_group(
-    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float
+    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float,
+    decoder=decode_block,
 ) -> pd.DataFrame:
     """Block-max WAND with WINDOW-BATCHED scoring: pivot selection and
     block skipping stay per-decision Python (they touch ~|query terms|
@@ -177,7 +181,9 @@ def _wand_one_group(
     cursors: list[_TermCursor] = []
     for term, grp in pdf.groupby("term", sort=False):
         cursors.append(
-            _TermCursor(float(grp["qtf"].iloc[0]), float(grp["idf"].iloc[0]), grp)
+            _TermCursor(
+                float(grp["qtf"].iloc[0]), float(grp["idf"].iloc[0]), grp, decoder
+            )
         )
 
     out_ids: list[np.ndarray] = []
@@ -288,8 +294,11 @@ def wand_topk(
     """
     k = k or cfg.top_k
     matched = blocks.join(F.broadcast(qterms), "term")
+    # payload decoder is chosen from config, NOT sniffed from bytes — a
+    # varint stream can begin with any byte sequence
+    decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
     per_bucket = matched.groupBy("qid", "bucket").applyInPandas(
-        lambda pdf: _wand_one_group(pdf, k, cfg.k1, cfg.b, avgdl),
+        lambda pdf: _wand_one_group(pdf, k, cfg.k1, cfg.b, avgdl, decoder),
         WAND_OUT_SCHEMA,
     )
     w = Window.partitionBy("qid").orderBy(

@@ -22,10 +22,13 @@ def index_dir(tmp_path):
     return str(tmp_path / "idx")
 
 
-def test_build_search_matches_oracle(spark, docs01, index_dir):
+@pytest.mark.parametrize("fmt", ["varint", "packed", "columnar"])
+def test_build_search_matches_oracle(spark, docs01, index_dir, fmt):
     # min_bucket_docs=64 → multiple doc-range buckets even at 500 docs, so
-    # the persisted path exercises the multi-bucket merge
-    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    # the persisted path exercises the multi-bucket merge; parametrized over
+    # block formats because the PERSISTED path re-derives the payload
+    # decoder from plan.json's config round-trip (not from the in-memory cfg)
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64, block_format=fmt)
     builder = IndexBuilder(index_dir, cfg)
     plan = builder.build(docs01)
     assert plan["n_docs"] == docs01.count()

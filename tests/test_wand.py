@@ -29,7 +29,7 @@ def test_wand_rank_identical_sf001(spark, docs01):
     _assert_rank_identical(oracle, wand)
 
 
-@pytest.mark.parametrize("fmt", ["columnar", "varint"])
+@pytest.mark.parametrize("fmt", ["columnar", "varint", "packed"])
 def test_wand_rank_identical_small_blocks(spark, docs01, fmt):
     """Tiny blocks force many skip/pivot decisions (stress the BMW logic);
     small salt count stresses the bucket merge; both block formats must be
