@@ -90,6 +90,36 @@ WHERE rank <= {CFG.top_k}
 # Spark-side query callables
 # ---------------------------------------------------------------------------
 
+_BM25_CONJ_SQL = f"""
+WITH {_DOC_TOK_CTE}, {_QUERY_TOK_CTE},
+qn AS (SELECT qid, count(*) AS n_terms FROM qtf GROUP BY 1),
+scores AS (
+  SELECT q.qid, t.doc_id,
+         sum(q.qtf
+             * ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * {CFG.k1 + 1.0})
+             / (t.tf + {CFG.k1} * (1 - {CFG.b} + {CFG.b} * ds.doclen / c.avgdl))
+         ) AS score,
+         count(*) AS hit
+  FROM qtf q
+  JOIN dict d USING (term)
+  JOIN tf t USING (term)
+  JOIN docstats ds ON t.doc_id = ds.doc_id
+  CROSS JOIN corpus c
+  GROUP BY 1, 2
+)
+SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score
+FROM (
+  SELECT s.qid, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS rank
+  FROM scores s JOIN qn USING (qid)
+  WHERE s.hit = qn.n_terms
+)
+WHERE rank <= {CFG.top_k}
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -107,6 +137,22 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from colbert_jl_spark.operators.wand import wand_topk_inline
 
     return wand_topk_inline(spark, _docs(spark, sf_dir), queries_df(spark), CFG)
+
+
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (posting-list intersection) BM25 top-10 — exhaustive
+    referee (north rule: 'posting-list intersection')."""
+    from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
+
+    return bm25_topk_conjunctive(_docs(spark, sf_dir), queries_df(spark), CFG, CFG.top_k)
+
+
+def q_wand_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-pointer zig-zag intersection over the block index — must be
+    rank-identical to q_bm25_conjunctive, so it shares the oracle."""
+    from colbert_jl_spark.operators.wand import wand_intersect_inline
+
+    return wand_intersect_inline(spark, _docs(spark, sf_dir), queries_df(spark), CFG)
 
 
 def q_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "wand_intersect": q_wand_intersect,
         "docstats": q_docstats,
         "term_df": q_term_df,
         "postings": q_postings,
@@ -154,6 +202,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         # WAND is pruned but rank-identical by construction → same oracle
         "wand_topk": _BM25_SQL,
+        "bm25_conjunctive": _BM25_CONJ_SQL,
+        # the zig-zag intersect executor must be rank-identical too
+        "wand_intersect": _BM25_CONJ_SQL,
         "docstats": f"WITH {_DOC_TOK_CTE} SELECT doc_id, doclen FROM docstats",
         "term_df": f"WITH {_DOC_TOK_CTE} SELECT term, df, cf FROM dict",
         "postings": f"WITH {_DOC_TOK_CTE} SELECT term, doc_id, tf FROM tf",

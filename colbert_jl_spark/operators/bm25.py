@@ -111,6 +111,67 @@ def topk(scores: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def bm25_topk_conjunctive(
+    docs: DataFrame,
+    queries: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    k: int = 10,
+) -> DataFrame:
+    """Conjunctive (intersection) BM25 top-k: only documents containing
+    EVERY distinct query term are scored — the exhaustive referee for the
+    skip-pointer posting-list intersection executor
+    (operators/wand.py:wand_intersect_topk; the north rule names
+    'posting-list intersection' explicitly).
+
+    Same plan shape as bm25_topk plus a terms_hit == n_terms filter: the
+    per-(qid, doc) aggregation already sees one row per matched term, so
+    the intersection test is a count against the broadcast per-query term
+    count — no extra join against postings. A query containing any
+    zero-df term returns EMPTY (no doc can contain it)."""
+    from colbert_jl_spark.operators.docstats import corpus_stats, doclens
+    from colbert_jl_spark.operators.postings import term_df, term_postings
+
+    k1, b = cfg.k1, cfg.b
+    ds = doclens(docs, cfg)
+    stats = corpus_stats(ds)
+    p = term_postings(docs, cfg)
+    d = term_df(p)
+    qt = query_terms(queries, cfg)
+    qn = qt.groupBy("qid").agg(F.count("*").alias("n_terms"))
+
+    enriched = qt.join(d.select("term", "df"), "term").withColumn(
+        "idf", idf_col(F.col("df"), stats["n_docs"])
+    )
+    matched = p.join(F.broadcast(enriched), "term").join(
+        ds.select("doc_id", "doclen"), "doc_id"
+    )
+    k_norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(float(stats["avgdl"]))
+    )
+    partial = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + k_norm)
+    )
+    scores = (
+        matched.withColumn("partial", partial)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("partial").alias("score"),
+            F.countDistinct("term").alias("terms_hit"),
+        )
+    )
+    conj = (
+        scores.join(F.broadcast(qn), "qid")
+        .where(F.col("terms_hit") == F.col("n_terms"))
+        .select("qid", "doc_id", "score")
+    )
+    return topk(conj, k).select(
+        "qid", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -49,7 +49,7 @@ class _TermCursor:
 
     __slots__ = (
         "qtf", "idf", "firsts", "lasts", "maxes", "payloads",
-        "bi", "docids", "tfs", "dls", "pos", "ub", "decoder",
+        "bi", "docids", "tfs", "dls", "pos", "ub", "total", "decoder",
     )
 
     def __init__(
@@ -75,6 +75,8 @@ class _TermCursor:
         self.pos = 0
         # global term upper bound (WAND U_t); block maxima refine it (BMW)
         self.ub = qtf * float(self.maxes.max()) if len(self.maxes) else 0.0
+        # posting count across blocks: picks the zig-zag drive term
+        self.total = int(blocks["n_docs"].sum())
         self._ensure_decoded()
 
     def _ensure_decoded(self) -> None:
@@ -309,6 +311,152 @@ def wand_topk(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def _intersect_one_group(
+    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float, decoder=decode_block
+) -> pd.DataFrame:
+    """Skip-pointer posting-list INTERSECTION with BM25 scoring — the
+    conjunctive executor the north rule names explicitly. Zig-zag shape:
+    the rarest term drives block by block; every other cursor skips to the
+    drive block's range via the (first/last docid) skip pointers
+    (shallow_seek — no decode of skipped blocks), then candidates are
+    filtered with vectorized membership tests. Block-max pruning applies
+    to the DRIVE block: if its bound plus the other terms' global bounds
+    cannot reach the running top-k threshold, the whole block is skipped
+    undecoded.
+
+    Exhaustive referee: operators/bm25.bm25_topk_conjunctive (rank
+    identity gated in tests/test_wand.py)."""
+    qid = int(pdf["qid"].iloc[0])
+    n_terms = int(pdf["n_terms"].iloc[0])
+    cursors: list[_TermCursor] = []
+    for term, grp in pdf.groupby("term", sort=False):
+        cursors.append(
+            _TermCursor(
+                float(grp["qtf"].iloc[0]), float(grp["idf"].iloc[0]), grp, decoder
+            )
+        )
+    empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+    # a query term with NO blocks in this doc range (or zero df anywhere)
+    # makes the intersection empty by definition
+    if len(cursors) < n_terms:
+        return empty
+
+    drive = min(cursors, key=lambda c: c.total)
+    others = [c for c in cursors if c is not drive]
+    others_ub = sum(c.ub for c in others)
+    out_ids: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    topk = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+
+    while drive.cur() != _INF:
+        if drive.block_ub() + others_ub < theta - _MARGIN:
+            # skip the whole drive block via its skip pointer, no decode
+            drive.next_geq(drive.block_last() + 1)
+            continue
+        hi = drive.block_last()
+        alive, acc = drive.take_upto(hi, k1, b, avgdl)  # = the current block
+        exhausted = False
+        for c in others:
+            if alive.size == 0:
+                break
+            c.next_geq(int(alive[0]))
+            if c.cur() == _INF:
+                exhausted = True
+                break
+            ids_c, sc_c = c.take_upto(hi, k1, b, avgdl)
+            if ids_c.size == 0:
+                alive = alive[:0]
+                break
+            keep = np.isin(alive, ids_c, assume_unique=True)
+            alive, acc = alive[keep], acc[keep]
+            if alive.size:
+                acc = acc + sc_c[np.searchsorted(ids_c, alive)]
+        if exhausted:
+            break  # some term has no postings left — no further intersections
+        if alive.size:
+            out_ids.append(alive)
+            out_scores.append(acc)
+            merged = np.concatenate([topk, acc])
+            if merged.size >= k:
+                topk = np.partition(merged, merged.size - k)[merged.size - k :]
+                theta = topk[0]
+            else:
+                topk = merged
+
+    if not out_ids:
+        return empty
+    all_ids = np.concatenate(out_ids)
+    all_scores = np.concatenate(out_scores)
+    cutoff = (theta if topk.size == k else -np.inf) - _MARGIN
+    keep = all_scores >= cutoff
+    return pd.DataFrame(
+        {"qid": qid, "doc_id": all_ids[keep], "score": all_scores[keep]}
+    )
+
+
+def wand_intersect_topk(
+    blocks: DataFrame,
+    qterms: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    avgdl: float = 1.0,
+    k: int | None = None,
+) -> DataFrame:
+    """Conjunctive top-k over the block table: same distribution shape as
+    wand_topk (broadcast query side, per-(qid, doc-bucket) groups, final
+    ranking window), with the zig-zag intersection executor per group.
+    Correct across buckets because a doc lives in exactly ONE doc-range
+    bucket: its intersection membership is decidable entirely within its
+    bucket given the query's full distinct-term count (n_terms, attached
+    to every row of the broadcast query side)."""
+    k = k or cfg.top_k
+    qn = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
+    qt = qterms.join(qn, "qid")
+    matched = blocks.join(F.broadcast(qt), "term")
+    decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
+    per_bucket = matched.groupBy("qid", "bucket").applyInPandas(
+        lambda pdf: _intersect_one_group(pdf, k, cfg.k1, cfg.b, avgdl, decoder),
+        WAND_OUT_SCHEMA,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        per_bucket.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def wand_intersect_inline(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+) -> DataFrame:
+    """End-to-end conjunctive variant of wand_topk_inline."""
+    from colbert_jl_spark.operators.bm25 import query_terms
+    from colbert_jl_spark.operators.codec_blocks import (
+        posting_blocks,
+        posting_blocks_columnar,
+        term_postings_with_doclen,
+    )
+    from colbert_jl_spark.operators.docstats import corpus_stats, doclens
+    from colbert_jl_spark.operators.postings import term_df
+
+    stats = corpus_stats(doclens(docs, cfg))
+    pdl = term_postings_with_doclen(docs, cfg)
+    dictionary = term_df(pdl.select("term", "doc_id", "tf"))
+    encode = (
+        posting_blocks_columnar if cfg.block_format == "columnar" else posting_blocks
+    )
+    blocks = encode(pdl, dictionary, stats["n_docs"], stats["avgdl"], cfg)
+    qt = query_terms(queries, cfg)
+    return wand_intersect_topk(blocks, qt, cfg, stats["avgdl"])
 
 
 def wand_topk_inline(

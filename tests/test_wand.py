@@ -67,6 +67,47 @@ def test_wand_duplicate_query_terms(spark, docs01):
     assert ((s2[shared] - 2 * s1[shared]).abs() < 2e-6).all()
 
 
+@pytest.mark.parametrize("fmt", ["varint", "packed", "columnar"])
+def test_intersect_rank_identical(spark, docs01, fmt):
+    """Skip-pointer zig-zag intersection == exhaustive conjunctive scorer,
+    across all block formats and with tiny blocks (many skip decisions)."""
+    from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
+    from colbert_jl_spark.operators.wand import wand_intersect_inline
+
+    cfg = EngineConfig(
+        block_size=8, num_index_partitions=7, min_bucket_docs=1, block_format=fmt
+    )
+    q = queries_df(spark)
+    oracle = bm25_topk_conjunctive(docs01, q, cfg).toPandas()
+    zig = wand_intersect_inline(spark, docs01, q, cfg).toPandas()
+    _assert_rank_identical(oracle, zig)
+    assert len(oracle) > 0  # the fixture queries intersect non-trivially
+
+
+def test_intersect_zero_df_term_empties_query(spark, docs01):
+    """Conjunctive semantics: one impossible term empties the whole query
+    — in the block executor that falls out of the n_terms guard (the term
+    has no blocks anywhere, so every bucket sees fewer cursors than
+    n_terms)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
+    from colbert_jl_spark.operators.wand import wand_intersect_inline
+
+    schema = StructType(
+        [StructField("qid", LongType()), StructField("query", StringType())]
+    )
+    q = spark.createDataFrame(
+        [(0, "data zzzmissingterm"), (1, "data table")], schema
+    )
+    cfg = EngineConfig(block_size=16, min_bucket_docs=100)
+    oracle = bm25_topk_conjunctive(docs01, q, cfg).toPandas()
+    zig = wand_intersect_inline(spark, docs01, q, cfg).toPandas()
+    _assert_rank_identical(oracle, zig)
+    assert 0 not in set(zig.qid)  # impossible term → empty
+    assert 1 in set(zig.qid)
+
+
 def test_wand_on_synthetic_needles(spark):
     """Synthetic Zipf corpus with needle markers: the needle query's top hit
     must be its host doc (exact-hit fixture, FIXTURES.md §2)."""
