@@ -304,6 +304,7 @@ class IndexReader:
         self,
         queries: DataFrame | list[tuple[int, str]],
         k: int | None = None,
+        mode: str = "topk",
     ) -> DataFrame:
         """Top-k via block-max WAND over the persisted block table —
         the ``search(searcher, query, k)`` analogue
@@ -319,12 +320,16 @@ class IndexReader:
         the engine's nprobe analogue (reference ranking.jl:30-36).
 
         ``queries`` may be a DataFrame (qid, query) — collected, it is
-        driver data anyway — or a list of (qid, query) pairs."""
+        driver data anyway — or a list of (qid, query) pairs.
+
+        ``mode``: "topk" (disjunctive block-max WAND, default) or
+        "intersect" (conjunctive — docs must contain EVERY query term;
+        the zig-zag skip-pointer executor, wand.wand_intersect_topk)."""
         from collections import Counter
 
         from colbert_jl_spark.functions.hashing import spark_pmod_hash
         from colbert_jl_spark.functions.tokenizer import py_terms
-        from colbert_jl_spark.operators.wand import wand_topk
+        from colbert_jl_spark.operators.wand import wand_intersect_topk, wand_topk
 
         if isinstance(queries, DataFrame):
             queries = [(r["qid"], r["query"]) for r in queries.collect()]
@@ -343,7 +348,10 @@ class IndexReader:
         if tp:
             buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
             blocks = blocks.where(F.col("term_bucket").isin(buckets))
-        return wand_topk(blocks, qt, self.cfg, self.plan["avgdl"], k)
+        executor = wand_intersect_topk if mode == "intersect" else wand_topk
+        # n_terms for the intersect guard is computed from qt BEFORE the
+        # block join, so zero-df terms still (correctly) empty their query
+        return executor(blocks, qt, self.cfg, self.plan["avgdl"], k)
 
     def load_hot(self) -> "IndexReader":
         """Serving mode: pin the block table in executor memory so repeated

@@ -2,7 +2,7 @@
 """Query entrypoint — run via spark-submit against a built index:
 
     spark-submit --py-files colbert_jl_spark.zip scripts/search_index.py \
-        --index <index root> --query "spark table join" [--k 10]
+        --index <index root> --query "spark table join" [--k 10] [--mode intersect]
 
 Prints one JSON line per hit: {"rank": r, "doc_id": d, "score": s}.
 The analogue of the reference's Searcher/search round trip
@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--query", required=True, action="append",
                     help="repeatable; each becomes one qid")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=("topk", "intersect"), default="topk",
+                    help="topk = disjunctive block-max WAND; intersect = "
+                         "conjunctive (docs must contain every query term)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -39,7 +42,7 @@ def main() -> int:
     )
     q = spark.createDataFrame(list(enumerate(args.query)), schema)
     reader = IndexReader(spark, args.index)
-    for row in reader.search(q, args.k).orderBy("qid", "rank").collect():
+    for row in reader.search(q, args.k, mode=args.mode).orderBy("qid", "rank").collect():
         print(json.dumps(
             {"qid": row.qid, "rank": row.rank, "doc_id": row.doc_id, "score": row.score}
         ))

@@ -45,6 +45,30 @@ def test_build_search_matches_oracle(spark, docs01, index_dir, fmt):
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
 
+def test_persisted_intersect_search(spark, docs01, index_dir):
+    """IndexReader.search(mode='intersect') over the persisted index ==
+    the exhaustive conjunctive referee, including the zero-df guard."""
+    from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
+
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    IndexBuilder(index_dir, cfg).build(docs01)
+    reader = IndexReader(spark, index_dir)
+    q = [(0, "data table join"), (1, "data zzzmissingterm")]
+    got = (
+        reader.search(q, mode="intersect")
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    qdf = spark.createDataFrame(q, "qid long, query string")
+    want = (
+        bm25_topk_conjunctive(docs01, qdf, cfg)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    assert 1 not in set(got.qid) and 0 in set(got.qid)
+
+
 def test_build_is_idempotent_and_resumable(spark, docs01, index_dir):
     cfg = EngineConfig(block_size=32)
     builder = IndexBuilder(index_dir, cfg)
