@@ -217,6 +217,17 @@ class IndexBuilder:
             # build pattern the reference uses (indexing.jl:125-132).
             n_postings = dic.agg(F.sum("df")).first()[0] or 0
             term_partitions = int(min(4096, max(4, n_postings // 2_000_000)))
+            # spill-aware shuffle sizing: the blocks exchange moves every
+            # posting once; per-reducer sorts must fit in memory. Sized to
+            # the DATA (~4M narrow posting rows ≈ 128 MB per partition),
+            # floored at the session's core-count default — at 960k docs
+            # (34M postings) this keeps partitions = cores, at 2M+ docs it
+            # grows them before the sort would spill (measured round 1:
+            # sp = cores spills beyond ~2M docs on 128 GiB). AQE coalesces
+            # over-splits, so erring high is cheap; restored after the stage.
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            data_sp = max(int(prev_sp), -(-int(n_postings) // 4_000_000))
+            spark.conf.set("spark.sql.shuffle.partitions", str(data_sp))
             plan["term_partitions"] = term_partitions
             with open(os.path.join(self.index_path, "plan.json"), "w") as f:
                 json.dump(plan, f, indent=2, sort_keys=True)
@@ -240,9 +251,12 @@ class IndexBuilder:
             # stats on `term` stay tight; a repartition("term_bucket") here
             # would add a full shuffle whose 64-key hash skews badly at
             # high parallelism.
-            self._write(
-                blocks, os.path.join(self.index_path, "blocks"), "term_bucket"
-            )
+            try:
+                self._write(
+                    blocks, os.path.join(self.index_path, "blocks"), "term_bucket"
+                )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             _mark_stage(self.index_path, "blocks")
 
         # -- stage: lineage (per doc-bucket build metrics) -------------------

@@ -138,6 +138,21 @@ def test_lineage_metrics(spark, docs01, index_dir):
     assert total_postings == reader.dictionary.toPandas()["df"].sum()
 
 
+def test_blocks_stage_shuffle_sizing_restores_conf(spark, docs01, index_dir):
+    """The blocks stage sizes spark.sql.shuffle.partitions to the posting
+    volume (spill-awareness at 100 TB) and must restore the session value
+    afterwards; at fixture scale (<4M postings) the floor is the session
+    default, so the build plan is unchanged."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        IndexBuilder(index_dir, EngineConfig(block_size=32)).build(docs01, force=True)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert IndexReader(spark, index_dir).validate()["ok"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_validate_detects_missing_stage(spark, docs01, index_dir):
     cfg = EngineConfig(block_size=32)
     IndexBuilder(index_dir, cfg).build(docs01)
