@@ -228,6 +228,25 @@ def main() -> None:
         p99 = lat_all[min(len(lat_all) - 1, int(len(lat_all) * 0.99))]
         log(f"query suite: {suite_sec:.2f}s total, {qps:.2f} q/s, p50={p50:.3f}s p99={p99:.3f}s")
 
+        # contract keys land in results BEFORE the scaling section, so a
+        # scaling failure still emits a valid (degraded) JSON line
+        results.update(
+            {
+                "metric": "bm25_wand_batched_suite_seconds_sf0.1",
+                "value": round(batched_sec, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "n_docs": n_docs,
+                "build_sec": round(build_sec, 3),
+                "build_docs_per_sec": round(n_docs / build_sec, 1),
+                "qps_batched": round(batched_qps, 2),
+                "qps_sequential": round(qps, 2),
+                "p50_latency_sec": round(p50, 4),
+                "p99_latency_sec": round(p99, 4),
+                "hot_p50_latency_sec": round(hot_p50, 4),
+            }
+        )
+
         spark.stop()
 
         # ---- scaling: identical job at N and 4N cores, clean JVM each -----
@@ -266,10 +285,18 @@ def main() -> None:
             best["build_sec_reps"] = [round(r["build_sec"], 2) for r in runs]
             return best
 
-        r_lo = best_run(lo, "lo")
-        log(f"scaling local[{lo}]: {r_lo}")
-        r_hi = best_run(hi, "hi")
-        log(f"scaling local[{hi}]: {r_hi}")
+        try:
+            r_lo = best_run(lo, "lo")
+            log(f"scaling local[{lo}]: {r_lo}")
+            r_hi = best_run(hi, "hi")
+            log(f"scaling local[{hi}]: {r_hi}")
+        except Exception as exc:  # noqa: BLE001
+            # never lose the headline numbers to a scaling-run failure —
+            # emit the JSON line with the error recorded instead
+            log(f"scaling runs failed: {exc!r}")
+            results["scaling_error"] = repr(exc)
+            print(json.dumps(results))
+            return
         sn = r_hi["n_docs"]
 
         ratio = hi / lo
@@ -296,18 +323,6 @@ def main() -> None:
         )
         results.update(
             {
-                "metric": "bm25_wand_batched_suite_seconds_sf0.1",
-                "value": round(batched_sec, 4),
-                "unit": "sec",
-                "queries": per_query,
-                "n_docs": n_docs,
-                "build_sec": round(build_sec, 3),
-                "build_docs_per_sec": round(n_docs / build_sec, 1),
-                "qps_batched": round(batched_qps, 2),
-                "qps_sequential": round(qps, 2),
-                "p50_latency_sec": round(p50, 4),
-                "p99_latency_sec": round(p99, 4),
-                "hot_p50_latency_sec": round(hot_p50, 4),
                 "scaling": {
                     "input_docs": sn,
                     f"local[{lo}]": {
