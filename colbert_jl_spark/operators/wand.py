@@ -143,6 +143,8 @@ class _TermCursor:
         while self.bi < len(self.payloads) and self.firsts[self.bi] <= hi:
             self._ensure_decoded()
             j = int(np.searchsorted(self.docids, hi, side="right"))
+            if j <= self.pos:
+                break  # nothing at/after the cursor is <= hi; never rewind
             if self.pos < j:
                 d = self.docids[self.pos : j]
                 tf = self.tfs[self.pos : j].astype(np.float64)
@@ -353,10 +355,11 @@ def _intersect_one_group(
     topk = np.empty(0, dtype=np.float64)
     theta = -np.inf
 
-    while drive.cur() != _INF:
+    while drive.bi < len(drive.payloads):  # block-level test: no decode
         if drive.block_ub() + others_ub < theta - _MARGIN:
-            # skip the whole drive block via its skip pointer, no decode
-            drive.next_geq(drive.block_last() + 1)
+            # skip the whole drive block via its skip pointer — the block
+            # pointer moves without decoding this block OR the next one
+            drive.shallow_seek(drive.block_last() + 1)
             continue
         hi = drive.block_last()
         alive, acc = drive.take_upto(hi, k1, b, avgdl)  # = the current block
