@@ -592,10 +592,19 @@ def _neardup_lsh_oracle_sql(threshold: float = 0.4) -> str:
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """Exact simhash recomputation: term->xxhash64 from the Python clone as
     a VALUES table (vocabulary read from the gate's sf dir — the driver
-    oracles at sf0.01), per-bit tf-weighted sign sums and 63-bit assembly
-    in SQL, then an all-pairs Hamming join (quadratic is fine for an
-    oracle; the ENGINE side stays banded)."""
+    oracles at sf0.01, override via SPARK_GRAFT_ORACLE_SF_DIR), per-bit
+    tf-weighted sign sums and 63-bit assembly in SQL, then an all-pairs
+    Hamming join (quadratic is fine for an oracle; the ENGINE side stays
+    banded).
+
+    Two guards against a vocabulary mismatch silently corrupting the gate
+    (ADVICE r2): terms are asserted [a-z0-9]+ BEFORE being interpolated
+    into SQL literals (the tokenizer guarantees it; the assert makes the
+    injection-safety assumption explicit), and the hash attach is a LEFT
+    join that raises error() on any term absent from the inlined VALUES —
+    grading a different corpus fails loudly instead of dropping bits."""
     import os
+    import re
 
     import duckdb
 
@@ -608,6 +617,9 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
                            x -> x <> ''))[1:{CFG.doc_maxlen}]) AS t
             FROM '{sf}/documents.parquet'"""
     ).fetchall()
+    safe = re.compile(r"^[a-z0-9]+$")
+    for (t,) in vocab:
+        assert safe.match(t), f"tokenizer emitted a non-[a-z0-9]+ term: {t!r}"
     values = ", ".join(
         f"('{t}', CAST({xxhash64(t.encode('utf-8'))} AS UBIGINT))"
         for (t,) in sorted(vocab)
@@ -628,9 +640,16 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
           GROUP BY 1, 2
         ),
         th(term, h) AS (VALUES {values}),
+        hashed AS (
+          SELECT t.doc_id, t.tf,
+                 CASE WHEN th.h IS NULL
+                      THEN error('term missing from inlined simhash vocabulary: ' || t.term)
+                      ELSE th.h END AS h
+          FROM tf t LEFT JOIN th USING (term)
+        ),
         bits AS (
-          SELECT t.doc_id, {bit_sums}
-          FROM tf t JOIN th USING (term) GROUP BY 1
+          SELECT doc_id, {bit_sums}
+          FROM hashed GROUP BY 1
         ),
         sh AS (SELECT doc_id, {assemble} AS simhash FROM bits)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

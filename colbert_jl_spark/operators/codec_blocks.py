@@ -199,6 +199,7 @@ def posting_blocks(
     avgdl: float,
     cfg: EngineConfig = EngineConfig(),
     bucket_size: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """postings (term, doc_id, tf, doclen) + dictionary (term, df) →
     block table (BLOCK_SCHEMA), varint payload format.
@@ -207,6 +208,11 @@ def posting_blocks(
     the plan-derived chunk sizing, analogue of setup()'s num_chunks math
     (reference src/indexing/collection_indexer.jl:130-133).
 
+    ``salt`` lets a driver that already verified the tid hash is
+    collision-free (collision_free_tid_salt) pass it in instead of
+    re-probing — the probe is up to 4 vocab-scale aggregates, which over
+    an UNmaterialized dictionary re-runs the whole tokenize pipeline.
+
     The per-posting shuffle into the encoder is dictionary-encoded: it
     carries (tid, bucket, doc_id, tf, doclen) only; term/df/idf join back
     on the block-level output (see _narrow_posting_rows)."""
@@ -214,7 +220,8 @@ def posting_blocks(
         bucket_size = max(
             cfg.min_bucket_docs, -(-n_docs // cfg.num_index_partitions)
         )
-    salt = collision_free_tid_salt(dictionary)
+    if salt is None:
+        salt = collision_free_tid_salt(dictionary)
     rows = _narrow_posting_rows(postings_dl, bucket_size, salt)
     encode_fn = encode_block_packed if cfg.block_format == "packed" else encode_block
     encoder = _make_block_encoder(cfg.block_size, avgdl, cfg.k1, cfg.b, encode_fn)
@@ -241,6 +248,7 @@ def posting_blocks_columnar(
     avgdl: float,
     cfg: EngineConfig = EngineConfig(),
     bucket_size: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Columnar block table — the 100% JVM encode path (default format).
 
@@ -273,7 +281,8 @@ def posting_blocks_columnar(
 
     k1, b = cfg.k1, cfg.b
     bs = cfg.block_size
-    salt = collision_free_tid_salt(dictionary)
+    if salt is None:
+        salt = collision_free_tid_salt(dictionary)
     narrow = _narrow_posting_rows(postings_dl, bucket_size, salt)
     # Window formulation keeps every per-posting computation UNBOXED inside
     # whole-stage codegen (row_number/lag/scalar BM25 partial); only the

@@ -36,24 +36,28 @@ def reference_sample_size(n_docs: int) -> int:
 
 def sample_docs(docs: DataFrame, seed: int = 42, n: int | None = None) -> DataFrame:
     """Seeded uniform doc sample of EXACTLY the reference's size
-    (collection_indexer.jl:17-24 draws exactly min(1+⌊16·√(120N)⌋, N) pids;
-    round-1 used Bernoulli×1.5+limit which can under-fill in the tail).
+    (collection_indexer.jl:17-24 draws exactly min(1+⌊16·√(120N)⌋, N) pids).
 
-    Two stages so neither touches the full corpus with a sort:
-      1. seeded Bernoulli oversample at fraction (n + 6√n + 16)/N — the
-         +6σ margin puts P(under-fill) below 1e-9 (binomial tail);
-      2. exact top-n by the seeded random key over the ~n-row oversample
-         (TakeOrderedAndProject: per-partition heap of ≤n over ~n rows).
-    The reference holds the sampled pid list in driver RAM anyway
-    (collection_indexer.jl:17-24), so an O(n) merge is at parity."""
+    The random key is ``xxhash64(doc_id, seed)`` — a deterministic function
+    of the ROW, not of partition layout (``F.rand(seed)`` re-rolls when the
+    input is repartitioned), so the drawn sample is layout-independent like
+    the reference's pid-based draw, and exact-n is structural (top-n over a
+    total deterministic ordering; hash ties broken by doc_id), not a
+    binomial-tail bound.
+
+    Scale shape: the top-n runs over the two-long (key, doc_id) projection
+    only (per-partition heaps of n = O(√N) ids, driver merge — the
+    reference holds the sampled pid list in driver RAM too), then a semi-
+    join re-attaches the full rows; AQE broadcasts the id side while it
+    fits."""
     n_docs = docs.count()
     if n is None:
         n = reference_sample_size(n_docs)
     if n >= n_docs:
         return docs
-    fraction = min(1.0, (n + 6.0 * math.sqrt(n) + 16.0) / n_docs)
-    over = docs.withColumn("_r", F.rand(seed)).where(F.col("_r") < fraction)
-    return over.orderBy("_r").limit(n).drop("_r")
+    key = F.xxhash64(F.col("doc_id"), F.lit(seed)).alias("_k")
+    picked = docs.select("doc_id", key).orderBy("_k", "doc_id").limit(n)
+    return docs.join(picked.select("doc_id"), "doc_id", "left_semi")
 
 
 def heldout_split(

@@ -101,6 +101,17 @@ class _TermCursor:
         self._ensure_decoded()
         return int(self.docids[self.pos])
 
+    def might_have_upto(self, hi: int) -> bool:
+        """cur() <= hi decided WITHOUT decoding: an undecoded block's
+        first_docid already proves whether it starts inside the window
+        (its first posting IS firsts[bi]), so tail cursors whose next
+        block lies entirely beyond the window stay undecoded."""
+        if self.bi >= len(self.payloads):
+            return False
+        if self.docids is not None:
+            return int(self.docids[self.pos]) <= hi
+        return int(self.firsts[self.bi]) <= hi
+
     def shallow_seek(self, target: int) -> None:
         """Advance the BLOCK pointer (no decode) until last_docid >= target."""
         while self.bi < len(self.payloads) and self.lasts[self.bi] < target:
@@ -248,7 +259,7 @@ def _wand_one_group(
         ids_parts: list[np.ndarray] = []
         sc_parts: list[np.ndarray] = []
         for c in cursors:
-            if c.cur() <= hi:
+            if c.might_have_upto(hi):
                 d, s = c.take_upto(hi, k1, b, avgdl)
                 if d.size:
                     ids_parts.append(d)
@@ -452,8 +463,11 @@ def wand_intersect_inline(
     from colbert_jl_spark.operators.postings import term_df
 
     stats = corpus_stats(doclens(docs, cfg))
-    pdl = term_postings_with_doclen(docs, cfg)
-    dictionary = term_df(pdl.select("term", "doc_id", "tf"))
+    # cache: the dictionary is probed eagerly by the collision-salt check
+    # (up to 4 vocab aggregates) and joined again by the encoder — without
+    # it every probe would re-run the whole tokenize pipeline (ADVICE r2)
+    pdl = term_postings_with_doclen(docs, cfg).cache()
+    dictionary = term_df(pdl.select("term", "doc_id", "tf")).cache()
     encode = (
         posting_blocks_columnar if cfg.block_format == "columnar" else posting_blocks
     )
@@ -483,8 +497,9 @@ def wand_topk_inline(
     from colbert_jl_spark.operators.postings import term_df
 
     stats = corpus_stats(doclens(docs, cfg))
-    pdl = term_postings_with_doclen(docs, cfg)
-    dictionary = term_df(pdl.select("term", "doc_id", "tf"))
+    # cache rationale: see wand_intersect_inline (collision-salt probes)
+    pdl = term_postings_with_doclen(docs, cfg).cache()
+    dictionary = term_df(pdl.select("term", "doc_id", "tf")).cache()
     encode = (
         posting_blocks_columnar if cfg.block_format == "columnar" else posting_blocks
     )

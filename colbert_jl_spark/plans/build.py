@@ -228,30 +228,34 @@ class IndexBuilder:
             prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
             data_sp = max(int(prev_sp), -(-int(n_postings) // 4_000_000))
             spark.conf.set("spark.sql.shuffle.partitions", str(data_sp))
-            plan["term_partitions"] = term_partitions
-            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
-                json.dump(plan, f, indent=2, sort_keys=True)
-            encode = (
-                posting_blocks_columnar
-                if self.cfg.block_format == "columnar"
-                else posting_blocks
-            )
-            blocks = encode(
-                postings,
-                dic.select("term", "df"),
-                plan["n_docs"],
-                plan["avgdl"],
-                self.cfg,
-                bucket_size=plan["bucket_size"],
-            )
-            blocks = with_term_partition(blocks, term_partitions)
-            # NO repartition before the partitionBy write: the encode output
-            # is already (term, bucket)-grouped, so rows of one term are
-            # contiguous within each task and parquet row-group min/max
-            # stats on `term` stay tight; a repartition("term_bucket") here
-            # would add a full shuffle whose 64-key hash skews badly at
-            # high parallelism.
+            # the try opens IMMEDIATELY after conf.set: encode() runs eager
+            # Spark jobs (the collision-salt probes) and the plan rewrite can
+            # raise — an exception anywhere before the write must not leak
+            # the inflated setting into the caller's session
             try:
+                plan["term_partitions"] = term_partitions
+                with open(os.path.join(self.index_path, "plan.json"), "w") as f:
+                    json.dump(plan, f, indent=2, sort_keys=True)
+                encode = (
+                    posting_blocks_columnar
+                    if self.cfg.block_format == "columnar"
+                    else posting_blocks
+                )
+                blocks = encode(
+                    postings,
+                    dic.select("term", "df"),
+                    plan["n_docs"],
+                    plan["avgdl"],
+                    self.cfg,
+                    bucket_size=plan["bucket_size"],
+                )
+                blocks = with_term_partition(blocks, term_partitions)
+                # NO repartition before the partitionBy write: the encode
+                # output is already (term, bucket)-grouped, so rows of one
+                # term are contiguous within each task and parquet row-group
+                # min/max stats on `term` stay tight; a
+                # repartition("term_bucket") here would add a full shuffle
+                # whose 64-key hash skews badly at high parallelism.
                 self._write(
                     blocks, os.path.join(self.index_path, "blocks"), "term_bucket"
                 )

@@ -71,10 +71,21 @@ def test_sampling_operators(spark, docs01):
     want = reference_sample_size(n)
     s = sample_docs(docs01, seed=42)
     assert s.count() == want  # exact-n parity with the reference formula
+    drawn = sorted(r.doc_id for r in s.collect())
     # deterministic under a fixed seed
-    assert sorted(r.doc_id for r in s.collect()) == sorted(
-        r.doc_id for r in sample_docs(docs01, seed=42).collect()
+    assert drawn == sorted(r.doc_id for r in sample_docs(docs01, seed=42).collect())
+    # and LAYOUT-independent: repartitioning the input draws the same docs
+    # (the key is xxhash64(doc_id, seed), a row fact — unlike F.rand)
+    assert drawn == sorted(
+        r.doc_id for r in sample_docs(docs01.repartition(7), seed=42).collect()
     )
+    # a different seed draws a different sample (explicit n: at 500 docs the
+    # reference formula asks for more than N, so the full-corpus shortcut
+    # would make any two seeds trivially equal)
+    s42 = sorted(r.doc_id for r in sample_docs(docs01, seed=42, n=50).collect())
+    s7 = sorted(r.doc_id for r in sample_docs(docs01, seed=7, n=50).collect())
+    assert len(s42) == len(s7) == 50
+    assert s42 != s7
     train, held = heldout_split(docs01, 0.05, seed=42)
     assert train.count() + held.count() == n
     assert held.count() < 0.15 * n
