@@ -294,6 +294,12 @@ class IndexReader:
     docstats and blocks stay distributed parquet scans with pushed-down
     term filters."""
 
+    # above this many distinct terms in one search() call, the per-term
+    # In(term, …) scan filter is skipped (the broadcast join prunes
+    # instead) — see the comment in search(). 32 covers every interactive
+    # query; only bulk batched suites cross it.
+    max_inlist_terms: int = 32
+
     def __init__(self, spark: SparkSession, index_path: str, cfg: EngineConfig | None = None):
         self.spark = spark
         self.index_path = index_path
@@ -361,7 +367,17 @@ class IndexReader:
             )
         qt = self.spark.createDataFrame(qt_rows, "qid long, term string, qtf long")
         terms = sorted({t for _, t, _ in qt_rows})
-        blocks = self.blocks.where(F.col("term").isin(terms))
+        blocks = self.blocks
+        # interactive queries (few distinct terms): an In(term, …) filter
+        # pushes into the parquet reader and prunes row groups via min/max
+        # stats. A BATCHED suite of thousands of distinct queries would
+        # compile a giant IN list into every scan instead (VERDICT r2 item
+        # 6) — above the threshold the broadcast hash join against qt is
+        # the term filter (Catalyst still prunes via the join), and only
+        # the term_bucket DIRECTORY pruning stays as an IN list (bounded by
+        # term_partitions ints — never giant).
+        if len(terms) <= self.max_inlist_terms:
+            blocks = blocks.where(F.col("term").isin(terms))
         tp = self.plan.get("term_partitions")
         if tp:
             buckets = sorted({spark_pmod_hash(t, tp) for t in terms})

@@ -159,6 +159,38 @@ def test_graded_lsh_queries_never_cross_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_batched_search_avoids_giant_term_inlist(spark, docs001, tmp_path):
+    """A 200-query batch must NOT compile a 200-entry In(term, …) filter
+    into every block scan (VERDICT r2 item 6): above the inlist threshold
+    the broadcast join is the term filter, while term_bucket directory
+    pruning (an IN over at most term_partitions ints) must survive."""
+    from colbert_jl_spark.functions.hashing import spark_pmod_hash
+
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(block_size=32)
+    IndexBuilder(idx, cfg).build(docs001)
+    reader = IndexReader(spark, idx)
+    tp = reader.plan["term_partitions"]
+    # 200 distinct single-term queries constrained to HALF the buckets so
+    # directory pruning is observable (and meaningful) in the plan
+    keep = set(range(max(1, tp // 2)))
+    terms, i = [], 0
+    while len(terms) < 200:
+        t = f"batchterm{i}"
+        i += 1
+        if spark_pmod_hash(t, tp) in keep:
+            terms.append(t)
+    out = reader.search([(j, t) for j, t in enumerate(terms)])
+    plan = _formatted(out)
+    assert "In(term," not in plan, "giant term IN list leaked into the scan"
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term_bucket" in l and "IN" in l.upper() for l in scan_lines), plan
+    # the small-query path still pushes the term filter (the interactive
+    # fast path is unchanged)
+    small = reader.search([(0, "data table")])
+    assert "In(term," in _formatted(small)
+
+
 def test_index_search_prunes_partitions(spark, docs001, tmp_path):
     """The persisted-index search must hit only the term_bucket partition
     directories of the query's terms (the nprobe analogue), visible as a

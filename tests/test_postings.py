@@ -42,6 +42,43 @@ def test_salted_merge_equals_unsalted(skewed):
     assert [x.doc_id for x in omni] == list(range(100))
 
 
+def test_posting_array_bound_and_runs_output(skewed):
+    """VERDICT r2 item 4: a term whose df exceeds the configured array
+    bound must fail LOUDLY on the single-array API (never silently build a
+    2 GiB-risk value) while the per-salt runs output handles it fine — and
+    merging the runs client-side reproduces the unsalted list exactly."""
+    from colbert_jl_spark.operators.postings import posting_runs
+
+    cfg = EngineConfig(salt_buckets=8)
+    p = term_postings(skewed, cfg)
+
+    # 'omni' spans all 100 docs > bound of 50 → execution-time error naming
+    # the term and the escape hatch, on both the salted and unsalted paths
+    for salted in (True, False):
+        with pytest.raises(Exception) as exc:
+            posting_lists(p, cfg, salted=salted, max_array_len=50).collect()
+        assert "max_array_len" in str(exc.value)
+        assert "posting_runs" in str(exc.value)
+
+    # the runs surface carries the same postings with NO row over the bound
+    runs = posting_runs(p, cfg).collect()
+    assert max(r.sub_df for r in runs) <= 50
+    merged: dict[str, list] = {}
+    for r in runs:
+        merged.setdefault(r.term, []).extend(r.sub_run)
+    flat = {
+        t: sorted((x.doc_id, x.tf) for x in v) for t, v in merged.items()
+    }
+    want = {
+        r.term: [(x.doc_id, x.tf) for x in r.postings]
+        for r in posting_lists(p, cfg, salted=False).collect()
+    }
+    assert flat == want
+    # and the bounded API still works when every term fits the bound
+    ok = posting_lists(p, cfg, max_array_len=100).collect()
+    assert {r.term for r in ok} == set(want)
+
+
 def test_exact_grouping_small_fixture(spark):
     """Analogue of the reference _build_ivf case: exact grouped, sorted
     posting lists with exact df (codes=[5,3,8,2,5,5,4,2,2,1,3] style)."""
