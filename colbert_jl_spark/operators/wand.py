@@ -45,7 +45,20 @@ WAND_OUT_SCHEMA = "qid long, doc_id long, score double"
 
 
 class _TermCursor:
-    """Lazy cursor over one term's block list (docid-sorted, disjoint)."""
+    """Lazy cursor over one term's block list (docid-sorted).
+
+    Blocks from one build are range-DISJOINT per (term, bucket), so the
+    sorted block list supports skip-pointer traversal with lazy decode. An
+    incrementally-compacted index (streaming/ingest.py) may hold several
+    SEGMENTS of blocks for the same (term, bucket) — one per compaction
+    epoch — whose docid RANGES interleave (doc ids are url-derived, not
+    monotone per epoch) even though their docid SETS are disjoint (a doc
+    is ingested exactly once). When the constructor detects overlapping
+    ranges it eagerly decodes and merge-sorts that group into one logical
+    block: correctness is preserved exactly; only block-level skipping is
+    lost for that (term, bucket) — and only until the next major
+    compaction. Ingests whose doc ids grow monotonically (the production
+    recommendation) produce disjoint segments and keep the lazy path."""
 
     __slots__ = (
         "qtf", "idf", "firsts", "lasts", "maxes", "payloads",
@@ -77,22 +90,45 @@ class _TermCursor:
         self.ub = qtf * float(self.maxes.max()) if len(self.maxes) else 0.0
         # posting count across blocks: picks the zig-zag drive term
         self.total = int(blocks["n_docs"].sum())
+        if len(self.firsts) > 1 and not bool(
+            np.all(self.firsts[1:] > self.lasts[:-1])
+        ):
+            self._merge_overlapping_segments()
         self._ensure_decoded()
+
+    def _merge_overlapping_segments(self) -> None:
+        """Eager decode + stable merge of range-overlapping blocks into ONE
+        logical block (see class docstring). The merged block's max bound
+        is the max over constituent block maxima — a valid (if coarser)
+        upper bound for any posting inside it."""
+        parts = [self._decode(i) for i in range(len(self.payloads))]
+        d = np.concatenate([p[0] for p in parts])
+        t = np.concatenate([p[1] for p in parts])
+        l = np.concatenate([p[2] for p in parts])
+        order = np.argsort(d, kind="stable")
+        d, t, l = d[order], t[order], l[order]
+        self.firsts = d[:1].copy()
+        self.lasts = d[-1:].copy()
+        self.maxes = np.array([float(self.maxes.max())])
+        self.payloads = [None]
+        self.docids, self.tfs, self.dls = d, t, l
+        self.bi = 0
+        self.pos = 0
+
+    def _decode(self, bi: int):
+        p = self.payloads[bi]
+        if isinstance(p, (bytes, bytearray)):
+            return self.decoder(bytes(p))
+        gaps, tfs, dls = p
+        d = np.asarray(gaps, dtype=np.int64).cumsum()
+        # re-anchor at the block's skip pointer: the first gap is
+        # relative to the previous BLOCK's last doc (or arbitrary)
+        d += self.firsts[bi] - d[0]
+        return d, np.asarray(tfs, dtype=np.int64), np.asarray(dls, dtype=np.int64)
 
     def _ensure_decoded(self) -> None:
         if self.docids is None and self.bi < len(self.payloads):
-            p = self.payloads[self.bi]
-            if isinstance(p, (bytes, bytearray)):
-                d, t, l = self.decoder(bytes(p))
-            else:
-                gaps, tfs, dls = p
-                d = np.asarray(gaps, dtype=np.int64).cumsum()
-                # re-anchor at the block's skip pointer: the first gap is
-                # relative to the previous BLOCK's last doc (or arbitrary)
-                d += self.firsts[self.bi] - d[0]
-                t = np.asarray(tfs, dtype=np.int64)
-                l = np.asarray(dls, dtype=np.int64)
-            self.docids, self.tfs, self.dls = d, t, l
+            self.docids, self.tfs, self.dls = self._decode(self.bi)
             self.pos = 0
 
     def cur(self) -> int:
@@ -293,12 +329,50 @@ def _wand_one_group(
     )
 
 
+def _refresh_matched_stats(
+    matched: DataFrame, qterms: DataFrame, bound_scale: float
+) -> DataFrame:
+    """Overlay QUERY-TIME term statistics onto the matched block rows.
+
+    Block rows persist the idf and max_score computed at ENCODE time. After
+    an incremental compaction (streaming/ingest.py) those are stale for
+    pre-existing blocks: df and N grew (idf moved) and avgdl drifted (the
+    block-max tf_norm bound moved). Rewriting every block row per
+    compaction would be O(corpus) — the point of incremental merge is not
+    to — so staleness is corrected here, per matched row, at query time:
+
+    * scoring idf: if qterms carries ``idf_q`` (the CURRENT dictionary
+      value), it replaces the stored idf outright — scores become exactly
+      the from-scratch values, because the payload (docids/tfs/doclens) is
+      statistics-independent.
+    * block-max bound: stored max_score = idf_enc * max_tf_norm(avgdl_enc).
+      Dividing by the stored idf recovers max_tf_norm (to 1 ulp, absorbed
+      by the WAND pruning margin), re-multiplying by idf_q refreshes the
+      idf factor, and ``bound_scale`` covers avgdl drift: tf_norm is
+      increasing in avgdl with ratio tf_norm(a2)/tf_norm(a1) <= a2/a1 for
+      a2 > a1 (the k1(1-b)+tf term only shrinks the ratio), so scaling by
+      max(1, avgdl_now / min_enc_avgdl) keeps every stored bound a valid
+      upper bound — laxer for newer segments, never wrong.
+    """
+    if "idf_q" in qterms.columns:
+        matched = matched.withColumn(
+            "max_score",
+            F.col("max_score") / F.col("idf") * F.col("idf_q") * F.lit(bound_scale),
+        ).withColumn("idf", F.col("idf_q")).drop("idf_q")
+    elif bound_scale != 1.0:
+        matched = matched.withColumn(
+            "max_score", F.col("max_score") * F.lit(bound_scale)
+        )
+    return matched
+
+
 def wand_topk(
     blocks: DataFrame,
     qterms: DataFrame,
     cfg: EngineConfig = EngineConfig(),
     avgdl: float = 1.0,
     k: int | None = None,
+    bound_scale: float = 1.0,
 ) -> DataFrame:
     """blocks (codec_blocks.BLOCK_SCHEMA) × qterms (qid, term, qtf) →
     (qid, rank, doc_id, score[rounded 6dp]).
@@ -306,9 +380,14 @@ def wand_topk(
     qterms is tiny → broadcast; the join's term equi-condition is what
     Catalyst pushes into the block-table scan (partition pruning on
     term_bucket + min/max on term).
+
+    ``qterms`` may carry an ``idf_q`` column and ``bound_scale`` may exceed
+    1.0 on incrementally-compacted indexes — see _refresh_matched_stats.
     """
     k = k or cfg.top_k
-    matched = blocks.join(F.broadcast(qterms), "term")
+    matched = _refresh_matched_stats(
+        blocks.join(F.broadcast(qterms), "term"), qterms, bound_scale
+    )
     # payload decoder is chosen from config, NOT sniffed from bytes — a
     # varint stream can begin with any byte sequence
     decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
@@ -419,6 +498,7 @@ def wand_intersect_topk(
     cfg: EngineConfig = EngineConfig(),
     avgdl: float = 1.0,
     k: int | None = None,
+    bound_scale: float = 1.0,
 ) -> DataFrame:
     """Conjunctive top-k over the block table: same distribution shape as
     wand_topk (broadcast query side, per-(qid, doc-bucket) groups, final
@@ -426,11 +506,17 @@ def wand_intersect_topk(
     Correct across buckets because a doc lives in exactly ONE doc-range
     bucket: its intersection membership is decidable entirely within its
     bucket given the query's full distinct-term count (n_terms, attached
-    to every row of the broadcast query side)."""
+    to every row of the broadcast query side).
+
+    ``idf_q``/``bound_scale`` freshness overlay: see _refresh_matched_stats
+    (n_terms counts DISTINCT query terms from the raw qterms rows, so the
+    overlay column never affects the conjunction guard)."""
     k = k or cfg.top_k
     qn = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
     qt = qterms.join(qn, "qid")
-    matched = blocks.join(F.broadcast(qt), "term")
+    matched = _refresh_matched_stats(
+        blocks.join(F.broadcast(qt), "term"), qt, bound_scale
+    )
     decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
     per_bucket = matched.groupBy("qid", "bucket").applyInPandas(
         lambda pdf: _intersect_one_group(pdf, k, cfg.k1, cfg.b, avgdl, decoder),

@@ -383,9 +383,26 @@ class IndexReader:
             buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
             blocks = blocks.where(F.col("term_bucket").isin(buckets))
         executor = wand_intersect_topk if mode == "intersect" else wand_topk
+        # incrementally-compacted index: pre-existing block rows carry
+        # ENCODE-time idf/max_score, stale after df/N/avgdl moved. Attach
+        # the CURRENT dictionary idf to the query side (one vocab-scale
+        # pushed-down scan inside the same query DAG) and widen block-max
+        # bounds for avgdl drift — see wand._refresh_matched_stats. Batch-
+        # built indexes skip this entirely (no extra scan on the hot path).
+        bound_scale = 1.0
+        inc = self.plan.get("incremental")
+        if inc:
+            qt = qt.join(
+                self.dictionary.select("term", F.col("idf").alias("idf_q")),
+                "term",
+                "left",
+            )
+            bound_scale = max(1.0, self.plan["avgdl"] / inc["min_enc_avgdl"])
         # n_terms for the intersect guard is computed from qt BEFORE the
         # block join, so zero-df terms still (correctly) empty their query
-        return executor(blocks, qt, self.cfg, self.plan["avgdl"], k)
+        return executor(
+            blocks, qt, self.cfg, self.plan["avgdl"], k, bound_scale=bound_scale
+        )
 
     def load_hot(self) -> "IndexReader":
         """Serving mode: pin the block table in executor memory so repeated

@@ -89,29 +89,226 @@ def stream_pages_to_postings(
     return writer.trigger(processingTime="10 seconds").start()
 
 
+def _compact_state_file(index_path: str) -> str:
+    return os.path.join(index_path, "_COMPACT.json")
+
+
+def _load_compact_state(index_path: str) -> dict | None:
+    try:
+        with open(_compact_state_file(index_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _save_compact_state(index_path: str, state: dict) -> None:
+    tmp = _compact_state_file(index_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=2, sort_keys=True)
+    os.replace(tmp, _compact_state_file(index_path))
+
+
 def compact_streamed_index(
-    spark: SparkSession, index_path: str, cfg: EngineConfig = EngineConfig()
+    spark: SparkSession,
+    index_path: str,
+    cfg: EngineConfig = EngineConfig(),
+    full: bool = False,
 ) -> dict:
-    """Rebuild plan/dictionary/blocks/lineage over all streamed postings —
-    the incremental-merge job a scheduler runs periodically. Clears the
-    downstream stage marks so the builder re-derives them; the postings
-    stage is the streamed data itself."""
-    from colbert_jl_spark.plans.build import IndexBuilder, _load_stages, _mark_stage
+    """Fold newly-streamed postings into the queryable block index.
+
+    The FIRST compaction (or ``full=True`` — the "major compaction" a
+    scheduler runs occasionally to restore per-segment block disjointness
+    and reset statistics staleness) builds plan/dictionary/blocks/lineage
+    over all postings via the batch builder.
+
+    Every later call is INCREMENTAL (VERDICT r2 item 2): it reads ONLY the
+    ``batch=`` posting partitions newer than the last compacted batch_id
+    and
+
+      * appends their (doc_id, doclen) rows to docstats,
+      * updates plan.json additively (n_docs / total_tokens / avgdl /
+        n_empty_docs are running sums),
+      * merges the dictionary additively — df/cf are sums, idf is
+        recomputed over the merged rows (vocab-scale, the one full rewrite,
+        and the reason query-time idf can always be fresh),
+      * encodes ONLY the new postings into delta blocks with the plan's
+        frozen bucket_size / term_partitions and appends them under the
+        same term_bucket partition dirs (on Iceberg: a transactional
+        append), and
+      * appends per-bucket delta lineage rows.
+
+    Nothing proportional to the pre-existing corpus is read or written —
+    the job is O(delta), gated in tests/test_streaming.py. Pre-existing
+    block rows keep their encode-time idf/max_score; IndexReader corrects
+    both at query time (plan.json carries the ``incremental`` marker with
+    min_enc_avgdl — see plans/build.py and wand._refresh_matched_stats).
+    Segments whose doc-id ranges interleave are merge-sorted inside the
+    WAND cursor (correct, minus block skipping for touched groups);
+    monotone doc-id ingests keep full skipping.
+
+    Returns the updated plan with a ``compaction`` report:
+    {mode, batches_compacted, postings_read, docs_added}.
+    """
+    from colbert_jl_spark.operators.bm25 import idf_col
+    from colbert_jl_spark.operators.codec_blocks import (
+        posting_blocks,
+        posting_blocks_columnar,
+        with_term_partition,
+    )
+    from colbert_jl_spark.operators.postings import term_df
+    from colbert_jl_spark.plans.build import (
+        IndexBuilder,
+        _atomic_write,
+        _load_stages,
+        _mark_stage,
+    )
 
     ingest = spark.read.parquet(os.path.join(index_path, "ingest_log"))
-    n_docs = ingest.agg(F.sum("n_docs")).first()[0] or 0
+    batch_rows = {int(r.batch_id): r for r in ingest.collect()}
+    state = _load_compact_state(index_path)
 
-    # stage ledger: postings exist (streamed); downstream must rebuild
-    stage_file = os.path.join(index_path, "_STAGES.json")
-    stages = _load_stages(index_path)
-    for s in ("plan", "dictionary", "blocks", "lineage"):
-        stages.pop(s, None)
-    with open(stage_file, "w") as f:
-        json.dump(stages, f)
-    _mark_stage(index_path, "postings", {"streamed": True})
+    if full or state is None or "blocks" not in _load_stages(index_path):
+        # ---- initial / major compaction: full downstream rebuild ----------
+        n_docs = sum(r.n_docs for r in batch_rows.values())
+        stage_file = os.path.join(index_path, "_STAGES.json")
+        import shutil
 
-    builder = IndexBuilder(index_path, cfg)
-    return builder.finish_from_postings(spark, n_docs_total=int(n_docs))
+        stages = _load_stages(index_path)
+        for s in ("plan", "dictionary", "blocks", "lineage"):
+            stages.pop(s, None)
+            shutil.rmtree(os.path.join(index_path, s), ignore_errors=True)
+        with open(stage_file, "w") as f:
+            json.dump(stages, f)
+        _mark_stage(index_path, "postings", {"streamed": True})
+
+        builder = IndexBuilder(index_path, cfg)
+        plan = builder.finish_from_postings(spark, n_docs_total=int(n_docs))
+        _save_compact_state(
+            index_path,
+            {
+                "last_batch_id": max(batch_rows, default=-1),
+                "min_enc_avgdl": plan["avgdl"],
+                "epochs": 1,
+            },
+        )
+        plan["compaction"] = {
+            "mode": "full",
+            "batches_compacted": sorted(batch_rows),
+            "postings_read": int(sum(r.n_postings for r in batch_rows.values())),
+            "docs_added": int(n_docs),
+        }
+        return plan
+
+    # ---- incremental compaction: touch ONLY batches > last_batch_id -------
+    new_ids = sorted(b for b in batch_rows if b > state["last_batch_id"])
+    plan_path = os.path.join(index_path, "plan.json")
+    with open(plan_path) as f:
+        plan = json.load(f)
+    if not new_ids:
+        plan["compaction"] = {
+            "mode": "noop", "batches_compacted": [], "postings_read": 0,
+            "docs_added": 0,
+        }
+        return plan
+
+    new_postings = spark.read.parquet(
+        *[os.path.join(index_path, "postings", f"batch={b}") for b in new_ids]
+    ).cache()
+    try:
+        # docstats append + additive plan update
+        seen = new_postings.select("doc_id", "doclen").distinct()
+        row = seen.agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("tot")
+        ).first()
+        docs_added = int(sum(batch_rows[b].n_docs for b in new_ids))
+        seen.write.mode("append").parquet(os.path.join(index_path, "docstats"))
+        plan["n_docs"] = int(plan["n_docs"]) + docs_added
+        plan["n_empty_docs"] = int(plan["n_empty_docs"]) + docs_added - int(row["n"])
+        plan["total_tokens"] = int(plan["total_tokens"]) + int(row["tot"] or 0)
+        plan["avgdl"] = (
+            plan["total_tokens"] / plan["n_docs"] if plan["n_docs"] else 0.0
+        )
+
+        # dictionary: additive df/cf merge, idf recomputed over merged rows
+        dic_dir = os.path.join(index_path, "dictionary")
+        old_dic = spark.read.parquet(dic_dir).select("term", "df", "cf")
+        delta_dic = term_df(new_postings.select("term", "doc_id", "tf"))
+        merged = (
+            old_dic.unionByName(delta_dic)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .withColumn("idf", idf_col(F.col("df"), plan["n_docs"]))
+        )
+        # the merge must materialize BEFORE the dictionary dir is replaced
+        # (its plan reads the old files): write to a sibling dir first,
+        # then swap — the same tmp→rename commit the batch stages use
+        import shutil
+
+        _atomic_write(merged, dic_dir + ".merged")
+        shutil.rmtree(dic_dir)
+        os.replace(dic_dir + ".merged", dic_dir)
+        dic = spark.read.parquet(dic_dir)
+
+        # delta blocks: encode ONLY new postings with the plan's frozen
+        # bucket_size/term_partitions, attach merged df/idf, append
+        encode = (
+            posting_blocks_columnar
+            if cfg.block_format == "columnar"
+            else posting_blocks
+        )
+        delta_blocks = encode(
+            new_postings,
+            dic.select("term", "df"),
+            plan["n_docs"],
+            plan["avgdl"],
+            cfg,
+            bucket_size=plan["bucket_size"],
+        )
+        delta_blocks = with_term_partition(
+            delta_blocks, plan["term_partitions"]
+        ).cache()
+        postings_read = int(new_postings.count())
+        delta_blocks.write.mode("append").partitionBy("term_bucket").parquet(
+            os.path.join(index_path, "blocks")
+        )
+
+        # delta lineage rows (same shape as the batch stage, one generation
+        # of rows per compaction — sums stay exact across generations)
+        if "payload" in delta_blocks.columns:
+            byte_col = F.length("payload")
+        else:
+            byte_col = F.col("n_docs") * F.lit(16)
+        lineage = delta_blocks.groupBy("bucket").agg(
+            F.sum("n_docs").alias("postings_emitted"),
+            F.count("*").alias("blocks_written"),
+            F.sum(byte_col).alias("bytes_compressed"),
+            F.countDistinct("term").alias("terms_seen"),
+        )
+        lineage.write.mode("append").parquet(os.path.join(index_path, "lineage"))
+        delta_blocks.unpersist()
+    finally:
+        new_postings.unpersist()
+
+    # plan.json: the incremental marker tells IndexReader to overlay fresh
+    # idf and widen block-max bounds by avgdl drift (min over every
+    # segment's encode-time avgdl — see wand._refresh_matched_stats)
+    epoch = int(state["epochs"]) + 1
+    min_enc = min(float(state["min_enc_avgdl"]), plan["avgdl"])
+    plan["incremental"] = {"epochs": epoch, "min_enc_avgdl": min_enc}
+    with open(plan_path, "w") as f:
+        json.dump(plan, f, indent=2, sort_keys=True)
+    _save_compact_state(
+        index_path,
+        {"last_batch_id": max(batch_rows), "min_enc_avgdl": min_enc,
+         "epochs": epoch},
+    )
+    plan["compaction"] = {
+        "mode": "incremental",
+        "batches_compacted": new_ids,
+        "postings_read": postings_read,
+        "docs_added": docs_added,
+    }
+    return plan
 
 
 def windowed_event_counts(

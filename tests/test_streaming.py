@@ -55,6 +55,113 @@ def test_stream_ingest_compact_search(spark, docs001, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
 
+def test_incremental_compaction_touches_only_new_postings(spark, docs01, tmp_path):
+    """VERDICT r2 item 2: after the initial compaction, compacting a new
+    ingest wave must (a) read ONLY the new wave's postings, (b) leave every
+    pre-existing block file byte-untouched (pure delta append), and (c)
+    yield an index whose search output is rank-identical to a from-scratch
+    batch build over the full corpus — including fresh idf (N doubled) and
+    avgdl drift, and with wave-2 doc_ids INTERLEAVING wave-1's (the
+    overlap-segment cursor path)."""
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(docs01)
+    w1 = pages.where(F.crc32(F.col("url")) % 2 == 0)
+    w2 = pages.where(F.crc32(F.col("url")) % 2 == 1)
+
+    # ---- wave 1: ingest + initial (full) compaction ----------------------
+    w1.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    r1 = compact_streamed_index(spark, idx, cfg)
+    assert r1["compaction"]["mode"] == "full"
+    assert IndexReader(spark, idx).validate()["ok"]
+
+    def block_files():
+        out = {}
+        for root, _, files in os.walk(os.path.join(idx, "blocks")):
+            for f in files:
+                if f.startswith("part-"):
+                    p = os.path.join(root, f)
+                    out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    old_files = block_files()
+
+    # ---- wave 2: ingest + INCREMENTAL compaction --------------------------
+    w2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    wave2_batches = [
+        d for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("batch=") and int(d.split("=")[1]) > max(
+            r1["compaction"]["batches_compacted"]
+        )
+    ]
+    wave2_postings = spark.read.parquet(
+        *[os.path.join(idx, "postings", d) for d in wave2_batches]
+    ).count()
+
+    r2 = compact_streamed_index(spark, idx, cfg)
+    assert r2["compaction"]["mode"] == "incremental"
+    # (a) the job read exactly the new wave's postings, nothing more
+    assert r2["compaction"]["postings_read"] == wave2_postings
+    assert r2["compaction"]["docs_added"] == w2.count()
+    # (b) pure delta append: every pre-existing block file untouched
+    new_files = block_files()
+    for p, sig in old_files.items():
+        assert p in new_files and new_files[p] == sig, f"rewritten: {p}"
+    assert len(new_files) > len(old_files)
+    # plan carries the freshness marker the reader needs
+    assert r2["incremental"]["epochs"] == 2
+    assert r2["n_docs"] == docs01.count()
+
+    # (c) rank-identical to a from-scratch batch build over ALL docs
+    reader = IndexReader(spark, idx)
+    assert reader.validate()["ok"], reader.validate()
+    got = (
+        reader.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        bm25_topk(docs01, queries_df(spark), cfg)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+    # conjunctive mode rides the same freshness overlay
+    from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
+
+    q = [(0, "data table join"), (1, "data zzzmissingterm")]
+    got_i = (
+        reader.search(q, mode="intersect")
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want_i = (
+        bm25_topk_conjunctive(
+            docs01, spark.createDataFrame(q, "qid long, query string"), cfg
+        )
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_i, want_i, check_like=True)
+
+    # a third call with nothing new is a no-op
+    r3 = compact_streamed_index(spark, idx, cfg)
+    assert r3["compaction"]["mode"] == "noop"
+
+    # and a MAJOR compaction (full=True) resets epochs + stays identical
+    r4 = compact_streamed_index(spark, idx, cfg, full=True)
+    assert r4["compaction"]["mode"] == "full"
+    assert "incremental" not in r4
+    reader2 = IndexReader(spark, idx)
+    got2 = (
+        reader2.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want, check_like=True)
+
+
 def test_stream_resume_is_idempotent(spark, docs001, tmp_path):
     """Re-running the stream over the same checkpoint ingests nothing new
     (exactly-once at batch granularity)."""
