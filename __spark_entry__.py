@@ -358,6 +358,54 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("url", extract_text("html").alias("text"))
 
 
+def q_posting_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-salt posting runs — the UNBOUNDED posting-list surface (the
+    skew-safe stage-1 output of the salted merge, VERDICT r2 item 4).
+    Flattened with posexplode so the gate value-hashes the in-run ORDER."""
+    from pyspark.sql import functions as F
+
+    from colbert_jl_spark.operators.postings import posting_runs, term_postings
+
+    runs = posting_runs(term_postings(_docs(spark, sf_dir), CFG), CFG)
+    return runs.select(
+        "term", "salt", "sub_df", F.posexplode("sub_run").alias("pos", "p")
+    ).select(
+        "term", "salt", "sub_df", F.col("pos").cast("int").alias("pos"),
+        F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"),
+    )
+
+
+def q_relevance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic conjunctive-containment relevance labels — the ground
+    truth of the hits@k retrieval-quality harness (eval.py; reference
+    examples/AIHelpMe/evals.jl:33-42 analogue)."""
+    from colbert_jl_spark.eval import relevance_labels
+
+    return relevance_labels(_docs(spark, sf_dir), queries_df(spark), CFG)
+
+
+# Fixed phrase set for the positional-matching row: hits (incl. a repeated-
+# term phrase), a stopword-bearing phrase (raw-token semantics keep its
+# position slots), and an absent phrase (empty-result edge).
+PHRASE_SET: list[tuple[int, str]] = [
+    (0, "fast table"),
+    (1, "table table"),
+    (2, "value fast"),
+    (3, "the a"),
+    (4, "zzzmissing phrase"),
+]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase matching (consecutive raw tokens) — the
+    capability note left open in round 2 (no positions in the block
+    payload); implemented as a positional posting stream + broadcast
+    offset join, operators/phrase.py."""
+    from colbert_jl_spark.operators.phrase import phrase_matches
+
+    return phrase_matches(_docs(spark, sf_dir), PHRASE_SET, CFG)
+
+
 def q_doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR prefix-sum offsets (SURVEY §2.6 I4 analogue — window agg)."""
     from colbert_jl_spark.operators.docstats import doclens
@@ -659,6 +707,23 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _phrase_values_sql() -> str:
+    """(pid, term, off, plen) VALUES rows for the phrase oracle, tokenized
+    with the ENGINE's own raw tokenizer (py_tokens) so both sides split
+    the phrase identically; terms are [a-z0-9]+ by construction (safe to
+    interpolate)."""
+    from colbert_jl_spark.functions.tokenizer import py_tokens
+
+    rows = []
+    for pid, text in PHRASE_SET:
+        toks = py_tokens(text, None)
+        for off, tok in enumerate(toks):
+            rows.append(
+                f"(CAST({pid} AS BIGINT), '{tok}', {off}, {len(toks)})"
+            )
+    return ", ".join(rows)
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -676,6 +741,9 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_offsets": q_doc_offsets,
         "doclen_quantiles": q_doclen_quantiles,
         "extract_text": q_extract_text,
+        "posting_runs": q_posting_runs,
+        "relevance_labels": q_relevance_labels,
+        "phrase_match": q_phrase_match,
     }
 
 
@@ -770,6 +838,49 @@ def _extra_oracles() -> dict[str, str]:
             SELECT printf('https://example.org/doc/%08d', doc_id) AS url,
                    text
             FROM documents
+        """,
+        "posting_runs": f"""
+            WITH {_DOC_TOK_CTE}
+            SELECT term,
+                   CAST(doc_id % {CFG.salt_buckets} AS INTEGER) AS salt,
+                   CAST(count(*) OVER (PARTITION BY term, doc_id % {CFG.salt_buckets})
+                        AS BIGINT) AS sub_df,
+                   CAST(row_number() OVER (PARTITION BY term, doc_id % {CFG.salt_buckets}
+                                           ORDER BY doc_id) - 1 AS INTEGER) AS pos,
+                   doc_id, tf
+            FROM tf
+        """,
+        "phrase_match": f"""
+            WITH {_RAW_TOK_CTE},
+            rawpos AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     CAST(unnest(range(len(toks))) AS INTEGER) AS pos
+              FROM rawtok
+            ),
+            ph(pid, term, off, plen) AS (VALUES {_phrase_values_sql()}),
+            starts AS (
+              SELECT p.pid, p.plen, r.doc_id, r.pos - p.off AS start
+              FROM rawpos r JOIN ph p USING (term)
+              WHERE r.pos - p.off >= 0
+            ),
+            occ AS (
+              SELECT pid, plen, doc_id, start, count(*) AS m
+              FROM starts GROUP BY 1, 2, 3, 4
+            )
+            SELECT pid, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM occ WHERE m = plen GROUP BY 1, 2
+        """,
+        "relevance_labels": f"""
+            WITH {_DOC_TOK_CTE}, {_QUERY_TOK_CTE},
+            qd AS (SELECT DISTINCT qid, term FROM qtf),
+            qn AS (SELECT qid, count(*) AS n_terms FROM qd GROUP BY 1),
+            hits AS (
+              SELECT q.qid, t.doc_id, count(*) AS nt
+              FROM qd q JOIN tf t USING (term) GROUP BY 1, 2
+            )
+            SELECT h.qid, h.doc_id
+            FROM hits h JOIN qn USING (qid)
+            WHERE h.nt = qn.n_terms
         """,
         "doc_offsets": f"""
             WITH {_DOC_TOK_CTE}

@@ -66,16 +66,23 @@ class EngineConfig:
     # Block storage format; all three are served by the same WAND executor
     # and rank-identity gated (tests/test_wand.py parametrizes formats):
     # "varint":   hand-packed delta+varint bytes built in applyInPandas —
-    #             the custom-codec path; measured fastest on this box.
+    #             the custom-codec path. DEFAULT, by measurement (r3,
+    #             960k docs pinned to 4 cores, best-of-2 each, recorded in
+    #             BASELINE.md): blocks stage 19.2-19.4 s vs columnar's
+    #             21.4-25.4 s — the numpy sort+pack beats the JVM
+    #             window+collect_list formulation here because the per-
+    #             posting window functions pay row_number/lag over every
+    #             posting while the pandas groups amortize to C loops.
     # "packed":   PForDelta-style fixed-width bit-packing with exception
     #             patching (functions/codec.py pack_stream) — the
     #             capability analogue of the reference's true bit-packing
     #             (residual.jl:400-441 _packbits/_unpackbits).
     # "columnar": 100% JVM encode (window + per-block collect_list),
     #             parquet page encodings do the bit-packing. Keeps the
-    #             whole build Python-free; on a single box all formats
-    #             are bound by the same posting shuffle, so pick by
-    #             cluster policy (Python-free ops vs smaller payloads).
+    #             whole build Python-free (no Arrow transport of posting
+    #             rows) — the format of choice for clusters whose policy
+    #             forbids Python executors; ~10% slower end-to-end on the
+    #             measured box.
     block_format: str = "varint"
     stopwords: tuple[str, ...] = field(default=STOPWORDS)
     token_split_re: str = TOKEN_SPLIT_RE

@@ -401,8 +401,136 @@ class IndexReader:
         # n_terms for the intersect guard is computed from qt BEFORE the
         # block join, so zero-df terms still (correctly) empty their query
         return executor(
-            blocks, qt, self.cfg, self.plan["avgdl"], k, bound_scale=bound_scale
+            blocks, qt, self.cfg, self.plan["avgdl"], k,
+            bound_scale=bound_scale, fused=self._single_bucket(),
         )
+
+    def _single_bucket(self) -> bool:
+        """True iff the whole index lives in ONE doc-range bucket — then
+        each (qid, bucket) WAND group spans the query's full doc space and
+        the final ranking window (an extra exchange+sort per query DAG) is
+        fused away (VERDICT r2 item 9). Checked once per reader via the
+        bucket-count in the lineage table (rows-per-bucket metadata, a
+        metadata-scale scan at init time, never per query); the plan-level
+        n_docs <= bucket_size test alone would trust doc_ids to start at 0."""
+        if not hasattr(self, "_n_buckets"):
+            if self.plan["n_docs"] > self.plan["bucket_size"]:
+                self._n_buckets = 2  # provably >1 without any job
+            else:
+                self._n_buckets = (
+                    self.lineage.select("bucket").distinct().count()
+                )
+        return self._n_buckets == 1
+
+    def search_local(
+        self,
+        queries: DataFrame | list[tuple[int, str]],
+        k: int | None = None,
+        mode: str = "topk",
+    ) -> DataFrame:
+        """Latency-mode search: ONE Spark action (the pruned block fetch —
+        a filter+collect on the cached/parquet block table, no shuffle, no
+        Python workers), then the SAME per-group WAND/intersect executors
+        run in the driver process and the k·buckets-row merge happens
+        driver-side (VERDICT r2 item 9's sketch).
+
+        The collect volume is the query terms' block rows — the reference
+        Searcher holds the ENTIRE compressed index in driver RAM
+        (reference src/loaders.jl:91-113); this mode holds one query's
+        slice of it, transiently. That is the right trade for interactive
+        serving, and the wrong one for analytical batches over head terms
+        whose posting blocks are GBs — use search() there (the executors
+        and results are identical; gated in tests/test_build.py)."""
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        from colbert_jl_spark.functions.codec import (
+            decode_block,
+            decode_block_packed,
+        )
+        from colbert_jl_spark.functions.hashing import spark_pmod_hash
+        from colbert_jl_spark.functions.tokenizer import py_terms
+        from colbert_jl_spark.operators.wand import (
+            _exact_round6,
+            _intersect_one_group,
+            _wand_one_group,
+        )
+
+        k = k or self.cfg.top_k
+        if isinstance(queries, DataFrame):
+            queries = [(r["qid"], r["query"]) for r in queries.collect()]
+        qt_rows = []
+        for qid, qtext in queries:
+            for term, qtf in Counter(py_terms(qtext, None, self.cfg.stopwords)).items():
+                qt_rows.append((int(qid), term, int(qtf)))
+        out_schema = "qid long, rank int, doc_id long, score double"
+        if not qt_rows:
+            return self.spark.createDataFrame([], out_schema)
+        terms = sorted({t for _, t, _ in qt_rows})
+        blocks = self.blocks.where(F.col("term").isin(terms))
+        tp = self.plan.get("term_partitions")
+        if tp:
+            buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
+            blocks = blocks.where(F.col("term_bucket").isin(buckets))
+        bpdf = blocks.toPandas()  # THE one Spark action
+
+        inc = self.plan.get("incremental")
+        bound_scale = 1.0
+        if inc and len(bpdf):
+            idf_now = {
+                r.term: r.idf
+                for r in self.dictionary.where(F.col("term").isin(terms))
+                .select("term", "idf").collect()
+            }
+            bound_scale = max(1.0, self.plan["avgdl"] / inc["min_enc_avgdl"])
+            fresh = bpdf["term"].map(idf_now)
+            bpdf["max_score"] = (
+                bpdf["max_score"] / bpdf["idf"] * fresh * bound_scale
+            )
+            bpdf["idf"] = fresh
+
+        qpdf = pd.DataFrame(qt_rows, columns=["qid", "term", "qtf"])
+        n_terms = qpdf.groupby("qid")["term"].nunique()
+        matched = bpdf.merge(qpdf, on="term") if len(bpdf) else bpdf
+        decoder = (
+            decode_block_packed
+            if self.cfg.block_format == "packed"
+            else decode_block
+        )
+        avgdl = self.plan["avgdl"]
+        parts = []
+        if len(matched):
+            for (qid, _bucket), grp in matched.groupby(["qid", "bucket"], sort=False):
+                if mode == "intersect":
+                    grp = grp.assign(n_terms=int(n_terms[qid]))
+                    parts.append(
+                        _intersect_one_group(
+                            grp, k, self.cfg.k1, self.cfg.b, avgdl, decoder
+                        )
+                    )
+                else:
+                    parts.append(
+                        _wand_one_group(
+                            grp, k, self.cfg.k1, self.cfg.b, avgdl, decoder
+                        )
+                    )
+        cand = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        )
+        rows = []
+        for qid in sorted(cand["qid"].unique()):
+            g = cand[cand["qid"] == qid]
+            ids = g["doc_id"].to_numpy(dtype="int64")
+            scs = g["score"].to_numpy(dtype="float64")
+            r6 = _exact_round6(scs)
+            sel = np.lexsort((ids, -r6))[:k]
+            for rank, j in enumerate(sel, start=1):
+                rows.append((int(qid), rank, int(ids[j]), float(r6[j])))
+        return self.spark.createDataFrame(rows, out_schema)
 
     def load_hot(self) -> "IndexReader":
         """Serving mode: pin the block table in executor memory so repeated

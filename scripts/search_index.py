@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--mode", choices=("topk", "intersect"), default="topk",
                     help="topk = disjunctive block-max WAND; intersect = "
                          "conjunctive (docs must contain every query term)")
+    ap.add_argument("--local-merge", action="store_true",
+                    help="interactive latency mode: one pruned collect, WAND "
+                         "runs driver-side (IndexReader.search_local)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -42,7 +45,8 @@ def main() -> int:
     )
     q = spark.createDataFrame(list(enumerate(args.query)), schema)
     reader = IndexReader(spark, args.index)
-    for row in reader.search(q, args.k, mode=args.mode).orderBy("qid", "rank").collect():
+    run = reader.search_local if args.local_merge else reader.search
+    for row in run(q, args.k, mode=args.mode).orderBy("qid", "rank").collect():
         print(json.dumps(
             {"qid": row.qid, "rank": row.rank, "doc_id": row.doc_id, "score": row.score}
         ))

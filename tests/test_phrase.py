@@ -1,0 +1,63 @@
+"""Positional phrase matching: hand-computed fixtures (overlapping
+occurrences, repeated-term phrases, stopword slots, truncation) + the
+structural guarantee that the phrase side broadcasts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.operators.phrase import phrase_matches, token_positions
+
+
+def _as_dict(df):
+    return {(r.pid, r.doc_id): r.n_occurrences for r in df.collect()}
+
+
+def test_phrase_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),          # "a b a" occurs at 0 and 2 (overlap)
+            (1, "big big data now"),   # repeated-term phrase
+            (2, "big data now"),       # "big big data" must NOT match
+            (3, "the cat sat"),        # stopword keeps its position slot
+            (4, "cat the sat"),        # same words, wrong order
+        ],
+        "doc_id long, text string",
+    )
+    got = _as_dict(
+        phrase_matches(
+            docs,
+            [(0, "a b a"), (1, "big big data"), (2, "the cat"), (3, "sat cat")],
+        )
+    )
+    assert got == {
+        (0, 0): 2,   # overlapping occurrences both count
+        (1, 1): 1,   # repeated term needs two distinct positions
+        (2, 3): 1,   # "the cat" matches only where "the" precedes "cat"
+    }
+
+
+def test_phrase_respects_doc_maxlen_truncation(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y " + "pad " * 10 + "x y")], "doc_id long, text string"
+    )
+    cfg = EngineConfig(doc_maxlen=4)  # truncates before the second "x y"
+    got = _as_dict(phrase_matches(docs, [(0, "x y")], cfg))
+    assert got == {(0, 0): 1}
+
+
+def test_token_positions_are_zero_based_raw(spark):
+    docs = spark.createDataFrame([(7, "The quick the")], "doc_id long, text string")
+    rows = sorted(
+        (r.pos, r.term) for r in token_positions(docs).collect()
+    )
+    # raw stream: lowercased, stopwords KEPT, 0-based consecutive positions
+    assert rows == [(0, "the"), (1, "quick"), (2, "the")]
+
+
+def test_phrase_side_broadcasts(spark, docs001):
+    plan = phrase_matches(
+        docs001, [(0, "data table")],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -130,6 +130,13 @@ def test_incremental_compaction_touches_only_new_postings(spark, docs01, tmp_pat
     )
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
+    # the driver-side latency mode applies the SAME idf/avgdl freshness
+    got_local = (
+        reader.search_local(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_local, want, check_like=True)
+
     # conjunctive mode rides the same freshness overlay
     from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
 
