@@ -169,6 +169,56 @@ def test_incremental_compaction_touches_only_new_postings(spark, docs01, tmp_pat
     pd.testing.assert_frame_equal(got2, want, check_like=True)
 
 
+def test_incremental_compaction_three_epochs_avgdl_growth(spark, docs01, tmp_path):
+    """Three ingest waves ordered by document length — every epoch RAISES
+    avgdl, so pre-existing blocks' encode-time tf_norm bounds UNDERestimate
+    under the new avgdl and rank identity depends on the bound_scale
+    widening (max(1, avgdl_now/min_enc_avgdl)); with two incremental
+    epochs the min-over-epochs bookkeeping is exercised too. An
+    over-pruning bug shows up here as a missing/reordered top-k row."""
+    from pyspark.sql import Window
+
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    ranked = docs01.withColumn(
+        "third",
+        F.ntile(3).over(Window.orderBy(F.length("text"), "doc_id")),
+    )
+    plans = []
+    for wave in (1, 2, 3):
+        w = pages_from_documents(
+            ranked.where(F.col("third") == wave).drop("third")
+        )
+        w.write.mode("append").parquet(pages_dir)
+        stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+        plans.append(compact_streamed_index(spark, idx, cfg))
+
+    assert plans[0]["compaction"]["mode"] == "full"
+    assert [p["compaction"]["mode"] for p in plans[1:]] == ["incremental"] * 2
+    # avgdl grew every epoch → min_enc_avgdl pins the FIRST epoch's value
+    assert plans[1]["avgdl"] > plans[0]["avgdl"]
+    assert plans[2]["avgdl"] > plans[1]["avgdl"]
+    assert plans[2]["incremental"]["epochs"] == 3
+    assert plans[2]["incremental"]["min_enc_avgdl"] == min(
+        p["avgdl"] for p in plans
+    )
+
+    reader = IndexReader(spark, idx)
+    assert reader.validate()["ok"]
+    got = (
+        reader.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        bm25_topk(docs01, queries_df(spark), cfg)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
 def test_stream_resume_is_idempotent(spark, docs001, tmp_path):
     """Re-running the stream over the same checkpoint ingests nothing new
     (exactly-once at batch granularity)."""
