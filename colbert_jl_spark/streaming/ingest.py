@@ -167,6 +167,18 @@ def compact_streamed_index(
     batch_rows = {int(r.batch_id): r for r in ingest.collect()}
     state = _load_compact_state(index_path)
 
+    # Crash recovery: an incremental compaction appends docstats/blocks/
+    # lineage rows in place, so a compaction killed mid-write would leave
+    # partial deltas that a naive retry DUPLICATES. The in_progress marker
+    # is written before the first delta write and cleared only by the
+    # final state commit; finding it set means the previous compaction
+    # died mid-flight — recover via a major compaction, whose stages
+    # rebuild every derived table wholesale (erasing any partial junk).
+    # On Iceberg the whole delta would be one transaction and this
+    # fallback disappears.
+    if state is not None and state.get("in_progress"):
+        full = True
+
     if full or state is None or "blocks" not in _load_stages(index_path):
         # ---- initial / major compaction: full downstream rebuild ----------
         n_docs = sum(r.n_docs for r in batch_rows.values())
@@ -211,6 +223,10 @@ def compact_streamed_index(
         }
         return plan
 
+    # write-ahead marker: cleared only by the final state commit below
+    _save_compact_state(
+        index_path, {**state, "in_progress": {"batches": new_ids}}
+    )
     new_postings = spark.read.parquet(
         *[os.path.join(index_path, "postings", f"batch={b}") for b in new_ids]
     ).cache()

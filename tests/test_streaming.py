@@ -219,6 +219,64 @@ def test_incremental_compaction_three_epochs_avgdl_growth(spark, docs01, tmp_pat
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
 
+def test_crashed_incremental_compaction_recovers_via_full_rebuild(
+    spark, docs01, tmp_path
+):
+    """A compaction killed mid-delta-write must not poison the index: the
+    in_progress write-ahead marker routes the next compaction through a
+    major (full) rebuild, which replaces every derived table wholesale —
+    duplicated partial deltas can't survive. Simulated by injecting a
+    failure after the docstats append (the first in-place delta write)."""
+    import json
+
+    from unittest import mock
+
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(docs01)
+    w1 = pages.where(F.crc32(F.col("url")) % 2 == 0)
+    w2 = pages.where(F.crc32(F.col("url")) % 2 == 1)
+    w1.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    compact_streamed_index(spark, idx, cfg)
+
+    w2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    # die right after the first in-place delta write (docstats append):
+    # term_df is the next call in the incremental path
+    import colbert_jl_spark.operators.postings as postings_mod
+
+    with mock.patch.object(
+        postings_mod, "term_df",
+        side_effect=RuntimeError("killed mid-compaction"),
+    ):
+        with pytest.raises(RuntimeError, match="killed mid-compaction"):
+            compact_streamed_index(spark, idx, cfg)
+
+    state = json.load(open(os.path.join(idx, "_COMPACT.json")))
+    assert state.get("in_progress"), "write-ahead marker must survive the crash"
+    # docstats already holds the (partial) delta — a naive incremental
+    # retry would append it AGAIN; the marker must force a full rebuild
+    r = compact_streamed_index(spark, idx, cfg)
+    assert r["compaction"]["mode"] == "full"
+    reader = IndexReader(spark, idx)
+    assert reader.validate()["ok"], reader.validate()
+    got = (
+        reader.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        bm25_topk(docs01, queries_df(spark), cfg)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    # and the recovered state supports further incremental compactions
+    assert not json.load(open(os.path.join(idx, "_COMPACT.json"))).get("in_progress")
+
+
 def test_stream_resume_is_idempotent(spark, docs001, tmp_path):
     """Re-running the stream over the same checkpoint ingests nothing new
     (exactly-once at batch granularity)."""
