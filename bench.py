@@ -190,14 +190,31 @@ def serve_run(index_dir: str) -> None:
     codegen + Python-worker spawn never lands in a timed rep. Every rep
     is recorded (…_reps arrays) — the JSON shows the spread, not just
     the min."""
-    from colbert_jl_spark.eval import hits_at_k, relevance_labels
-    from colbert_jl_spark.plans.build import IndexReader
-    from colbert_jl_spark.queries import QUERY_SET, queries_df
-
     spark = _fresh_spark(
         f"local[{SERVE_CORES}]", SERVE_CORES,
         {"spark.sql.adaptive.enabled": "false"},
     )
+    out = _measure_serving(spark, index_dir)
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _serve_inprocess_fallback(index_dir: str) -> dict:
+    """Unpinned in-process serving measurement — only used when every
+    pinned subprocess attempt hard-fails (serve_attempts records why)."""
+    spark = _fresh_spark(
+        f"local[{CPUS}]", min(CPUS, 8), {"spark.sql.adaptive.enabled": "false"}
+    )
+    out = _measure_serving(spark, index_dir)
+    spark.stop()
+    return out
+
+
+def _measure_serving(spark, index_dir: str) -> dict:
+    from colbert_jl_spark.eval import hits_at_k, relevance_labels
+    from colbert_jl_spark.plans.build import IndexReader
+    from colbert_jl_spark.queries import QUERY_SET, queries_df
+
     reader = IndexReader(spark, index_dir)
     reader.load_hot()
     q = queries_df(spark)
@@ -212,7 +229,7 @@ def serve_run(index_dir: str) -> None:
             times.append(time.perf_counter() - t0)
         return times
 
-    out: dict = {"serve_cores": SERVE_CORES}
+    out: dict = {"serve_cores": spark.sparkContext.defaultParallelism}
     batched = reps(lambda: reader.search(q).collect())
     out["batched_sec_reps"] = [round(t, 4) for t in batched]
     out["batched_sec"] = round(min(batched), 4)
@@ -253,8 +270,7 @@ def serve_run(index_dir: str) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     labels = relevance_labels(docs, q)
     out["hits_at_5"] = hits_at_k(reader.search(q), labels, k=5)
-    spark.stop()
-    print(json.dumps(out))
+    return out
 
 
 def main() -> None:
@@ -293,7 +309,15 @@ def main() -> None:
         attempts = []
         serve = None
         for i in range(1 + int(os.environ.get("BENCH_SERVE_EXTRA", "2"))):
-            s = _serve_run_subprocess(idx)
+            try:
+                s = _serve_run_subprocess(idx)
+            except Exception as exc:  # noqa: BLE001
+                # a hard subprocess failure (no taskset range on a small
+                # host, timeout, transient error) must not abort the bench
+                # — retry within the attempt budget, then fall back below
+                log(f"serving attempt {i} failed: {exc!r}")
+                attempts.append({"error": repr(exc)})
+                continue
             attempts.append(
                 {
                     "batched_sec": s["batched_sec"],
@@ -314,6 +338,12 @@ def main() -> None:
             )
             if s["qps_batched"] >= 8.0 and s["p99_latency_sec"] <= 1.68:
                 break
+        if serve is None:
+            # last resort: measure serving IN-PROCESS (unpinned — the r2
+            # protocol) so the driver contract line never goes missing;
+            # the attempt errors stay recorded so the artifact is honest
+            log("all pinned serving attempts failed — in-process fallback")
+            serve = _serve_inprocess_fallback(idx)
         serve["serve_attempts"] = attempts
 
         # contract keys land in results BEFORE the scaling section, so a

@@ -65,15 +65,26 @@ def hits_at_k(topk: DataFrame, labels: DataFrame, k: int = 5) -> dict:
 
     hits_rate = |{labeled qid : top-k ∩ relevant(qid) ≠ ∅}| / |labeled qid|
     — the reference's hits@5 rate (evals.jl:33-42)."""
-    labeled = labels.select("qid").distinct()
-    hit = (
-        topk.where(F.col("rank") <= k)
-        .join(labels, ["qid", "doc_id"], "left_semi")
-        .select("qid")
-        .distinct()
-    )
-    n_labeled = labeled.count()
-    n_hit = hit.count()
+    # two actions consume the labels lineage (the corpus-pass containment
+    # join); persist it for their duration so it computes once — unless
+    # the caller already manages its own cache (don't yank that away)
+    sl = labels.storageLevel
+    own_persist = not (sl.useMemory or sl.useDisk)
+    if own_persist:
+        labels = labels.persist()
+    try:
+        labeled = labels.select("qid").distinct()
+        hit = (
+            topk.where(F.col("rank") <= k)
+            .join(labels, ["qid", "doc_id"], "left_semi")
+            .select("qid")
+            .distinct()
+        )
+        n_labeled = labeled.count()
+        n_hit = hit.count()
+    finally:
+        if own_persist:
+            labels.unpersist()
     return {
         "k": k,
         "n_labeled": n_labeled,

@@ -46,18 +46,27 @@ WAND_RANKED_SCHEMA = "qid long, rank int, doc_id long, score double"
 
 
 def _exact_round6(scores: np.ndarray) -> np.ndarray:
-    """HALF_UP rounding to 6 dp with DECIMAL semantics — bit-identical to
-    Spark's ``round(col, 6)`` (BigDecimal HALF_UP over the double's exact
-    decimal expansion; ``Decimal(float)`` is that exact expansion). A
-    cheaper float trick like floor(x*1e6+0.5)/1e6 can disagree when the
-    multiply's binary error crosses the .5 boundary — and rank ordering
-    ties on the ROUNDED value, so the fused path must match exactly. Only
+    """HALF_UP rounding to 6 dp, bit-identical to Spark's ``round(col, 6)``.
+
+    Spark's round builds ``BigDecimal(Double.toString(x))`` — it quantizes
+    the SHORTEST round-trip decimal representation, not the double's exact
+    binary expansion. Python's ``repr(float)`` is the same shortest
+    round-trip string, so ``Decimal(repr(x))`` reproduces Spark exactly;
+    ``Decimal(x)`` (the exact expansion) does NOT — e.g. for
+    x = float("1.5000015") the exact expansion is 1.50000149999…
+    (quantizes to 1.500001) while the shortest repr "1.5000015" rounds
+    HALF_UP to 1.500002, which is what Spark emits. A float trick like
+    floor(x*1e6+0.5)/1e6 disagrees in yet more cases. Rank ordering ties
+    on the rounded value, so the fused path must match to the bit. Only
     ever applied to ≤ k+ties rows per group."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal("0.000001")
     return np.array(
-        [float(Decimal(v).quantize(q, rounding=ROUND_HALF_UP)) for v in scores.tolist()],
+        [
+            float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+            for v in scores.tolist()
+        ],
         dtype=np.float64,
     )
 

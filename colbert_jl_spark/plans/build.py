@@ -146,13 +146,27 @@ class IndexBuilder:
 
         return self.finish_from_postings(spark, n_docs_total=docs.count())
 
-    def finish_from_postings(self, spark: SparkSession, n_docs_total: int) -> dict:
+    def finish_from_postings(
+        self,
+        spark: SparkSession,
+        n_docs_total: int,
+        batch_ids: list[int] | None = None,
+    ) -> dict:
         """Run every stage downstream of the materialized postings table.
 
         Split out so the streaming ingest path (streaming/ingest.py), which
         appends postings incrementally via foreachBatch, can compact into a
         queryable index without a docs DataFrame — it passes the doc count
-        accumulated in its ingest log instead."""
+        accumulated in its ingest log instead.
+
+        ``batch_ids`` restricts the scan to those ``batch=`` partitions of
+        the postings dir (partition-pruned). The streaming path passes its
+        LOGGED batch ids: a micro-batch writes postings before its
+        ingest-log row, so a compaction racing a live stream could
+        otherwise index a batch that the ingest log (and therefore
+        n_docs_total and the compaction state) doesn't know about — that
+        batch would then be re-read as "new" by the next incremental
+        compaction and double-counted."""
         from colbert_jl_spark.operators.codec_blocks import (
             posting_blocks,
             posting_blocks_columnar,
@@ -162,6 +176,8 @@ class IndexBuilder:
 
         postings_dir = os.path.join(self.index_path, "postings")
         postings = spark.read.parquet(postings_dir)
+        if batch_ids is not None:
+            postings = postings.where(F.col("batch").isin([int(b) for b in batch_ids]))
 
         # -- stage: plan + docstats (derived; no re-tokenize) ---------------
         if "plan" not in _load_stages(self.index_path):
@@ -241,6 +257,12 @@ class IndexBuilder:
                     if self.cfg.block_format == "columnar"
                     else posting_blocks
                 )
+                # the build driver owns the collision probe (parquet-backed
+                # dictionary, vocab-scale) and passes the verified salt in
+                from colbert_jl_spark.operators.codec_blocks import (
+                    collision_free_tid_salt,
+                )
+
                 blocks = encode(
                     postings,
                     dic.select("term", "df"),
@@ -248,6 +270,7 @@ class IndexBuilder:
                     plan["avgdl"],
                     self.cfg,
                     bucket_size=plan["bucket_size"],
+                    salt=collision_free_tid_salt(dic),
                 )
                 blocks = with_term_partition(blocks, term_partitions)
                 # NO repartition before the partitionBy write: the encode
@@ -277,6 +300,14 @@ class IndexBuilder:
                 F.countDistinct("term").alias("terms_seen"),
             )
             self._write(lineage, os.path.join(self.index_path, "lineage"))
+            # record the doc-bucket count in the plan (one lineage row per
+            # bucket): IndexReader's fused-path gate reads it as metadata
+            # instead of running a lineage scan on the first query
+            plan["n_buckets"] = spark.read.parquet(
+                os.path.join(self.index_path, "lineage")
+            ).count()
+            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
+                json.dump(plan, f, indent=2, sort_keys=True)
             _mark_stage(self.index_path, "lineage")
 
         return plan
@@ -409,12 +440,18 @@ class IndexReader:
         """True iff the whole index lives in ONE doc-range bucket — then
         each (qid, bucket) WAND group spans the query's full doc space and
         the final ranking window (an extra exchange+sort per query DAG) is
-        fused away (VERDICT r2 item 9). Checked once per reader via the
-        bucket-count in the lineage table (rows-per-bucket metadata, a
-        metadata-scale scan at init time, never per query); the plan-level
-        n_docs <= bucket_size test alone would trust doc_ids to start at 0."""
+        fused away (VERDICT r2 item 9). Decided from plan.json's
+        ``n_buckets`` (recorded by the lineage stage) — NO Spark job, so
+        search()'s no-pre-query-job guarantee holds even on the first
+        call. Indexes written before n_buckets existed fall back to one
+        lazy lineage count (cached on the reader); the plan-level
+        n_docs <= bucket_size shortcut alone would trust doc_ids to
+        start at 0, which url-derived ids do not promise."""
         if not hasattr(self, "_n_buckets"):
-            if self.plan["n_docs"] > self.plan["bucket_size"]:
+            nb = self.plan.get("n_buckets")
+            if nb is not None:
+                self._n_buckets = int(nb)
+            elif self.plan["n_docs"] > self.plan["bucket_size"]:
                 self._n_buckets = 2  # provably >1 without any job
             else:
                 self._n_buckets = (

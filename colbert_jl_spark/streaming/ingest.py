@@ -194,7 +194,13 @@ def compact_streamed_index(
         _mark_stage(index_path, "postings", {"streamed": True})
 
         builder = IndexBuilder(index_path, cfg)
-        plan = builder.finish_from_postings(spark, n_docs_total=int(n_docs))
+        # index ONLY the logged batches: a batch whose postings landed but
+        # whose log row hasn't (the sink writes postings first) must wait
+        # for the next compaction, or it would be indexed now AND re-read
+        # as "new" later — double-counted (see finish_from_postings)
+        plan = builder.finish_from_postings(
+            spark, n_docs_total=int(n_docs), batch_ids=sorted(batch_rows)
+        )
         _save_compact_state(
             index_path,
             {
@@ -272,6 +278,10 @@ def compact_streamed_index(
             if cfg.block_format == "columnar"
             else posting_blocks
         )
+        from colbert_jl_spark.operators.codec_blocks import (
+            collision_free_tid_salt,
+        )
+
         delta_blocks = encode(
             new_postings,
             dic.select("term", "df"),
@@ -279,6 +289,7 @@ def compact_streamed_index(
             plan["avgdl"],
             cfg,
             bucket_size=plan["bucket_size"],
+            salt=collision_free_tid_salt(dic),
         )
         delta_blocks = with_term_partition(
             delta_blocks, plan["term_partitions"]
@@ -301,6 +312,13 @@ def compact_streamed_index(
             F.countDistinct("term").alias("terms_seen"),
         )
         lineage.write.mode("append").parquet(os.path.join(index_path, "lineage"))
+        # new docs may open new doc-range buckets; refresh the plan's
+        # bucket count (distinct: lineage accrues one row-generation per
+        # compaction) so the reader's fused-path gate stays job-free
+        plan["n_buckets"] = (
+            spark.read.parquet(os.path.join(index_path, "lineage"))
+            .select("bucket").distinct().count()
+        )
         delta_blocks.unpersist()
     finally:
         new_postings.unpersist()

@@ -133,3 +133,35 @@ def test_wand_on_synthetic_needles(spark):
     _assert_rank_identical(oracle, wand)
     top_needle = wand[(wand.qid == 0) & (wand["rank"] == 1)]
     assert top_needle.doc_id.iloc[0] == needle_doc.doc_id
+
+
+def test_exact_round6_matches_spark_round(spark):
+    """_exact_round6 (the fused path's rank-ordering rounding) must be
+    bit-identical to Spark's round(col, 6). Spark quantizes the SHORTEST
+    round-trip decimal repr (BigDecimal over Double.toString), not the
+    double's exact binary expansion — e.g. float("1.5000015") has exact
+    expansion 1.50000149999… yet Spark emits 1.500002; Decimal(repr(x))
+    reproduces this, Decimal(x) does not (a confirmed divergence class of
+    ~tens of thousands of doubles)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from colbert_jl_spark.operators.wand import _exact_round6
+
+    vals = [
+        1.5000015, 0.0000005, 2.0000025, 123.4567895, 0.1 + 0.2,
+        1e-7, 9.9999995, 0.9999995, 3.0000004999999997, 7.1234565,
+    ]
+    rng = np.random.default_rng(42)
+    vals += [float(v) for v in rng.uniform(0, 50, 1000)]
+    # and a batch engineered near the .5 ulp boundary
+    vals += [float(f"{i}.00000{d}5") for i in range(1, 20) for d in "0123456789"]
+    got = _exact_round6(np.array(vals, dtype=np.float64))
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "i long, x double")
+    want_rows = df.select("i", F.round("x", 6).alias("r")).collect()
+    want = np.empty(len(vals))
+    for r in want_rows:
+        want[r.i] = r.r
+    mismatches = [(vals[j], got[j], want[j]) for j in range(len(vals)) if got[j] != want[j]]
+    assert not mismatches, mismatches[:5]
