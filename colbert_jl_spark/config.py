@@ -84,6 +84,10 @@ class EngineConfig:
     #             forbids Python executors; ~10% slower end-to-end on the
     #             measured box.
     block_format: str = "varint"
+    # explicit term-hash directory fan-out for the dictionary + block
+    # tables; None (default) sizes it to the data in the build driver
+    # (~2M postings per partition dir, clamped to [4, 4096])
+    term_partitions: int | None = None
     stopwords: tuple[str, ...] = field(default=STOPWORDS)
     token_split_re: str = TOKEN_SPLIT_RE
     top_k: int = 10

@@ -182,7 +182,8 @@ def bm25_topk(
 
     Builds postings/stats inline (no persisted index) — the referee path.
     Score is rounded to 6 decimals for cross-engine comparability (same
-    rounding in the DuckDB oracle SQL); rank uses the UNROUNDED score.
+    rounding in the DuckDB oracle SQL); rank also orders by the ROUNDED
+    score (see topk) so rank is invariant to ±1-ulp summation jitter.
     """
     from colbert_jl_spark.operators.docstats import corpus_stats, doclens
     from colbert_jl_spark.operators.postings import term_df, term_postings

@@ -250,7 +250,8 @@ def posting_blocks_columnar(
     bucket_size: int | None = None,
     salt: int | None = None,
 ) -> DataFrame:
-    """Columnar block table — the 100% JVM encode path (default format).
+    """Columnar block table — the 100% JVM encode path (optional format;
+    the measured default is "varint", see config.py block_format).
 
     Same logical layout as the varint format (d-gapped docids + tf +
     doclen per ≤block_size run, skip pointers, exact block-max score) but

@@ -67,18 +67,42 @@ def term_df(postings: DataFrame) -> DataFrame:
 MAX_POSTING_ARRAY_LEN = 1 << 24
 
 
-def posting_runs(postings: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:
+def posting_runs(
+    postings: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    max_array_len: int = MAX_POSTING_ARRAY_LEN,
+) -> DataFrame:
     """(term, salt, sub_df, sub_run: array<struct<doc_id, tf>>) — the
-    UNBOUNDED posting-list surface: one docid-sorted run per (term, salt),
+    SKEW-SPREAD posting-list surface: one docid-sorted run per (term, salt),
     never concatenated, so no row ever holds more than ~df/salt_buckets
     postings regardless of skew. This is the stage-1 output of the salted
     merge exposed as an API; consumers that need the full list stream the
     ≤salt_buckets runs per term (they are disjoint by doc_id % salt and
     each sorted, so a k-way merge is linear). The block codec path
     (operators/codec_blocks.py) is the production consumer shape: blocks
-    are independent per (term, doc-bucket) slice and never concatenate."""
+    are independent per (term, doc-bucket) slice and never concatenate.
+
+    Per-salt runs are spread, NOT unbounded: with the default 8 salt
+    buckets a df≈1e9 web head term still puts ~1.25e8 entries (~2 GB) in
+    one aggregation value — the same 2 GiB-value failure mode
+    posting_lists guards against. The sub_df guard fails that query loudly
+    (sizing salt_buckets ≈ df_max / max_array_len is the fix) instead of
+    letting an executor OOM mid-stage."""
     s = cfg.salt_buckets
     entry = F.struct(F.col("doc_id"), F.col("tf"))
+    guard_msg = F.concat(
+        F.lit("posting_runs: term '"),
+        F.col("term"),
+        F.lit(
+            f"' has a per-salt run > max_array_len={max_array_len} "
+            f"(salt_buckets={s}); raise EngineConfig.salt_buckets so "
+            "df_max/salt_buckets fits, or consume the block codec "
+            "(operators/codec_blocks.py) whose groups never concatenate"
+        ),
+    )
+    guarded_sub_df = F.when(
+        F.col("sub_df") > max_array_len, F.raise_error(guard_msg).cast("long")
+    ).otherwise(F.col("sub_df"))
     return (
         postings.withColumn("salt", (F.col("doc_id") % s).cast("int"))
         .groupBy("term", "salt")
@@ -86,6 +110,7 @@ def posting_runs(postings: DataFrame, cfg: EngineConfig = EngineConfig()) -> Dat
             F.count("*").alias("sub_df"),
             F.sort_array(F.collect_list(entry)).alias("sub_run"),
         )
+        .select("term", "salt", guarded_sub_df.alias("sub_df"), "sub_run")
     )
 
 

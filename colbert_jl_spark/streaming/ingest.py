@@ -128,9 +128,15 @@ def compact_streamed_index(
       * appends their (doc_id, doclen) rows to docstats,
       * updates plan.json additively (n_docs / total_tokens / avgdl /
         n_empty_docs are running sums),
-      * merges the dictionary additively — df/cf are sums, idf is
-        recomputed over the merged rows (vocab-scale, the one full rewrite,
-        and the reason query-time idf can always be fresh),
+      * merges the dictionary additively — df/cf are sums — touching ONLY
+        the term_bucket partitions that contain delta terms (VERDICT r3
+        item 4): untouched partitions are HARDLINKED into a new versioned
+        dictionary dir (byte-identical, gated in tests), and plan.json
+        repoints ``dictionary_dir`` at the new version while the previous
+        version stays on disk for in-flight readers (ADVICE r3: the old
+        rmtree→replace swap left a FileNotFoundError window for concurrent
+        readers). idf is NOT stored (computed from plan.n_docs at read),
+        which is what makes untouched partitions byte-stable at all,
       * encodes ONLY the new postings into delta blocks with the plan's
         frozen bucket_size / term_partitions and appends them under the
         same term_bucket partition dirs (on Iceberg: a transactional
@@ -149,7 +155,6 @@ def compact_streamed_index(
     Returns the updated plan with a ``compaction`` report:
     {mode, batches_compacted, postings_read, docs_added}.
     """
-    from colbert_jl_spark.operators.bm25 import idf_col
     from colbert_jl_spark.operators.codec_blocks import (
         posting_blocks,
         posting_blocks_columnar,
@@ -158,7 +163,6 @@ def compact_streamed_index(
     from colbert_jl_spark.operators.postings import term_df
     from colbert_jl_spark.plans.build import (
         IndexBuilder,
-        _atomic_write,
         _load_stages,
         _mark_stage,
     )
@@ -189,6 +193,10 @@ def compact_streamed_index(
         for s in ("plan", "dictionary", "blocks", "lineage"):
             stages.pop(s, None)
             shutil.rmtree(os.path.join(index_path, s), ignore_errors=True)
+        # stale versioned dictionary dirs from prior incremental epochs
+        for entry in os.listdir(index_path):
+            if entry.startswith("dictionary.v"):
+                shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
         with open(stage_file, "w") as f:
             json.dump(stages, f)
         _mark_stage(index_path, "postings", {"streamed": True})
@@ -251,25 +259,85 @@ def compact_streamed_index(
             plan["total_tokens"] / plan["n_docs"] if plan["n_docs"] else 0.0
         )
 
-        # dictionary: additive df/cf merge, idf recomputed over merged rows
-        dic_dir = os.path.join(index_path, "dictionary")
-        old_dic = spark.read.parquet(dic_dir).select("term", "df", "cf")
-        delta_dic = term_df(new_postings.select("term", "doc_id", "tf"))
-        merged = (
-            old_dic.unionByName(delta_dic)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-            .withColumn("idf", idf_col(F.col("df"), plan["n_docs"]))
-        )
-        # the merge must materialize BEFORE the dictionary dir is replaced
-        # (its plan reads the old files): write to a sibling dir first,
-        # then swap — the same tmp→rename commit the batch stages use
+        # dictionary: additive df/cf merge touching ONLY the buckets that
+        # contain delta terms, committed as a new VERSIONED dir (see module
+        # docstring). Swap protocol: merged affected buckets are written to
+        # a tmp dir, untouched buckets are hardlinked from the current
+        # version (same inode — byte-identical by construction), the
+        # assembled dir is renamed to dictionary.v{epoch} and plan.json
+        # repoints at it in the final commit below; the PREVIOUS version
+        # stays on disk for in-flight readers and versions older than that
+        # are GC'd. A crash anywhere before the plan commit leaves the
+        # current version untouched (the in_progress marker then routes
+        # recovery through a major compaction which clears every version).
         import shutil
 
-        _atomic_write(merged, dic_dir + ".merged")
-        shutil.rmtree(dic_dir)
-        os.replace(dic_dir + ".merged", dic_dir)
-        dic = spark.read.parquet(dic_dir)
+        cur_name = plan.get("dictionary_dir", "dictionary")
+        cur_dir = os.path.join(index_path, cur_name)
+        old_dic = spark.read.parquet(cur_dir)
+        delta_dic = term_df(new_postings.select("term", "doc_id", "tf"))
+        new_name = f"dictionary.v{int(state['epochs']) + 1}"
+        new_dir = os.path.join(index_path, new_name)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        tp = plan.get("term_partitions")
+        if "term_bucket" in old_dic.columns and tp:
+            delta_b = with_term_partition(delta_dic, tp)
+            affected = {
+                int(r.term_bucket)
+                for r in delta_b.select("term_bucket").distinct().collect()
+            }
+            merged = with_term_partition(
+                old_dic.where(F.col("term_bucket").isin(sorted(affected)))
+                .select("term", "df", "cf")
+                .unionByName(delta_b.select("term", "df", "cf"))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")),
+                tp,
+            )
+            tmp = new_dir + ".tmp"
+            merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+            os.makedirs(new_dir)
+            for entry in os.listdir(cur_dir):
+                if not entry.startswith("term_bucket="):
+                    continue
+                if int(entry.split("=", 1)[1]) not in affected:
+                    shutil.copytree(
+                        os.path.join(cur_dir, entry),
+                        os.path.join(new_dir, entry),
+                        copy_function=os.link,
+                    )
+            for entry in os.listdir(tmp):
+                if entry.startswith("term_bucket="):
+                    os.replace(
+                        os.path.join(tmp, entry), os.path.join(new_dir, entry)
+                    )
+            shutil.rmtree(tmp)
+        else:
+            # pre-r4 flat dictionary (possibly with a stored idf): upgrade
+            # to the (term, df, cf) format in one full-vocab merge — the
+            # stored idf is dropped so readers compute it fresh from plan
+            merged = (
+                old_dic.select("term", "df", "cf")
+                .unionByName(delta_dic)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            )
+            if tp:
+                merged = with_term_partition(merged, tp)
+                tmpw = merged.write.mode("overwrite").partitionBy("term_bucket")
+                tmpw.parquet(new_dir + ".tmp")
+            else:
+                merged.write.mode("overwrite").parquet(new_dir + ".tmp")
+            os.replace(new_dir + ".tmp", new_dir)
+        plan["dictionary_dir"] = new_name
+        # GC: keep current + previous version; drop everything older
+        keep = {new_name, cur_name}
+        for entry in os.listdir(index_path):
+            if (
+                entry == "dictionary" or entry.startswith("dictionary.v")
+            ) and entry not in keep and not entry.endswith(".tmp"):
+                shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
+        dic = spark.read.parquet(new_dir)
 
         # delta blocks: encode ONLY new postings with the plan's frozen
         # bucket_size/term_partitions, attach merged df/idf, append
@@ -329,6 +397,8 @@ def compact_streamed_index(
     epoch = int(state["epochs"]) + 1
     min_enc = min(float(state["min_enc_avgdl"]), plan["avgdl"])
     plan["incremental"] = {"epochs": epoch, "min_enc_avgdl": min_enc}
+    if "total_postings" in plan:
+        plan["total_postings"] = int(plan["total_postings"]) + postings_read
     with open(plan_path, "w") as f:
         json.dump(plan, f, indent=2, sort_keys=True)
     _save_compact_state(

@@ -111,6 +111,8 @@ def test_sink_is_injectable(spark, docs01, index_dir):
     builder.build(docs01)
     assert [c[0] for c in calls] == ["postings", "docstats", "dictionary", "blocks", "lineage"]
     assert dict(calls)["blocks"] == "term_bucket"
+    # r4: the dictionary shares the block table's term_bucket partitioning
+    assert dict(calls)["dictionary"] == "term_bucket"
 
     reader = IndexReader(spark, index_dir)
     assert reader.validate()["ok"]
@@ -151,6 +153,40 @@ def test_search_local_matches_distributed(spark, docs01, index_dir):
         .toPandas().sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_i, want_i, check_like=True)
+
+
+def test_search_local_size_guard_falls_back(spark, docs01, index_dir):
+    """VERDICT r3 item 5: search_local must estimate the pruned collect
+    volume from the query terms' df (driver-side dictionary lookup) and
+    route head-term queries through the distributed search() instead of
+    collecting their block slice into the driver — with identical output."""
+    import pandas as pd
+
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    IndexBuilder(index_dir, cfg).build(docs01)
+    q = [(5, "data")]  # head term: df ≈ half the fixture corpus
+
+    reader = IndexReader(spark, index_dir)
+    key = ["qid", "rank"]
+    want = reader.search(q).toPandas().sort_values(key).reset_index(drop=True)
+
+    reader.max_local_postings = 1  # any real term exceeds this
+    routed = []
+    orig = reader.search
+    reader.search = lambda *a, **kw: (routed.append(1), orig(*a, **kw))[1]
+    got = reader.search_local(q).toPandas().sort_values(key).reset_index(drop=True)
+    assert routed, "size guard must fall back to distributed search()"
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+    # under the threshold the driver-side path runs WITHOUT search() —
+    # and repeat queries reuse the cached term stats (no growth in cache)
+    reader2 = IndexReader(spark, index_dir)
+    reader2.search = lambda *a, **kw: pytest.fail("must not fall back")
+    got2 = reader2.search_local(q).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want, check_like=True)
+    n_cached = len(reader2._term_stats)
+    reader2.search_local(q).collect()
+    assert len(reader2._term_stats) == n_cached
 
 
 def test_sink_crash_mid_stage_then_resume(spark, docs01, index_dir):

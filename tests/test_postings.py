@@ -78,6 +78,13 @@ def test_posting_array_bound_and_runs_output(skewed):
     ok = posting_lists(p, cfg, max_array_len=100).collect()
     assert {r.term for r in ok} == set(want)
 
+    # ADVICE r3: the runs surface is SPREAD, not unbounded — a per-salt run
+    # over the bound (omni: 100 docs / 8 salts ≈ 12.5 > 10) must also fail
+    # loudly, pointing at the salt_buckets sizing fix
+    with pytest.raises(Exception) as exc:
+        posting_runs(p, cfg, max_array_len=10).collect()
+    assert "salt_buckets" in str(exc.value)
+
 
 def test_exact_grouping_small_fixture(spark):
     """Analogue of the reference _build_ivf case: exact grouped, sorted

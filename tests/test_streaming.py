@@ -79,6 +79,12 @@ def test_incremental_compaction_touches_only_new_postings(spark, docs01, tmp_pat
     assert r1["compaction"]["mode"] == "full"
     assert IndexReader(spark, idx).validate()["ok"]
 
+    # a reader constructed (and warmed, incl. its term-stats cache) BEFORE
+    # the next compaction — must transparently refresh (ADVICE r4)
+    stale_reader = IndexReader(spark, idx).load_hot()
+    stale_reader.search(queries_df(spark)).collect()
+    stale_reader.search_local([(0, "spark table join")]).collect()
+
     def block_files():
         out = {}
         for root, _, files in os.walk(os.path.join(idx, "blocks")):
@@ -137,6 +143,29 @@ def test_incremental_compaction_touches_only_new_postings(spark, docs01, tmp_pat
     )
     pd.testing.assert_frame_equal(got_local, want, check_like=True)
 
+    # the dictionary merge committed as a VERSIONED dir and plan repointed
+    assert r2["dictionary_dir"] == "dictionary.v2"
+    assert os.path.isdir(os.path.join(idx, "dictionary.v2"))
+
+    # the PRE-compaction reader serves the post-compaction truth on BOTH
+    # paths: its plan snapshot, fused-path gate, hot block cache and
+    # term-stats cache all refresh off the plan.json mtime (ADVICE r4 —
+    # a stale reader here returns stale-idf scores or duplicate ranks)
+    got_stale = (
+        stale_reader.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_stale, want, check_like=True)
+    got_stale_local = (
+        stale_reader.search_local(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_stale_local, want, check_like=True)
+    # retire the hot reader BEFORE the major compaction below: an
+    # undisposed pin would be plan-matched into other readers' scans of
+    # the rewritten block dir (see IndexReader.release docstring)
+    stale_reader.release()
+
     # conjunctive mode rides the same freshness overlay
     from colbert_jl_spark.operators.bm25 import bm25_topk_conjunctive
 
@@ -157,16 +186,94 @@ def test_incremental_compaction_touches_only_new_postings(spark, docs01, tmp_pat
     r3 = compact_streamed_index(spark, idx, cfg)
     assert r3["compaction"]["mode"] == "noop"
 
-    # and a MAJOR compaction (full=True) resets epochs + stays identical
+    # and a MAJOR compaction (full=True) resets epochs + stays identical,
+    # clearing every versioned dictionary dir back to the canonical one
     r4 = compact_streamed_index(spark, idx, cfg, full=True)
     assert r4["compaction"]["mode"] == "full"
     assert "incremental" not in r4
+    assert "dictionary_dir" not in r4
+    assert not [d for d in os.listdir(idx) if d.startswith("dictionary.v")]
     reader2 = IndexReader(spark, idx)
     got2 = (
         reader2.search(queries_df(spark))
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, want, check_like=True)
+
+
+def test_incremental_dictionary_rewrites_only_delta_buckets(
+    spark, docs01, tmp_path
+):
+    """VERDICT r3 item 4: an incremental compaction must rewrite ONLY the
+    dictionary term_bucket partitions containing delta terms. With an
+    explicit 256-way term fan-out and a ~10-doc delta wave, most buckets
+    hold no delta term — their files must ride into the new dictionary
+    version as HARDLINKS (same inode ⇒ byte-identical), while exactly the
+    delta terms' buckets are rewritten. Search correctness after the merge
+    is covered by the rank-identity tests; this gates the I/O shape."""
+    from colbert_jl_spark.functions.hashing import spark_pmod_hash
+    from colbert_jl_spark.functions.tokenizer import py_terms
+
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64, term_partitions=256)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(docs01)
+    w1 = pages.where(F.crc32(F.col("url")) % 50 != 0)
+    w2 = pages.where(F.crc32(F.col("url")) % 50 == 0)
+    assert 0 < w2.count() < 25
+
+    w1.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    r1 = compact_streamed_index(spark, idx, cfg)
+    assert r1["term_partitions"] == 256
+
+    def bucket_inodes(dic_dir):
+        out = {}
+        for entry in os.listdir(dic_dir):
+            if entry.startswith("term_bucket="):
+                b = int(entry.split("=", 1)[1])
+                d = os.path.join(dic_dir, entry)
+                out[b] = {
+                    f: os.stat(os.path.join(d, f)).st_ino
+                    for f in os.listdir(d)
+                    if f.startswith("part-")
+                }
+        return out
+
+    old = bucket_inodes(os.path.join(idx, "dictionary"))
+
+    w2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    r2 = compact_streamed_index(spark, idx, cfg)
+    assert r2["compaction"]["mode"] == "incremental"
+
+    # expected affected buckets, computed independently with the python
+    # tokenizer + hash clone over the delta wave's text
+    delta_terms = set()
+    for r in w2.select("text").collect():
+        delta_terms.update(py_terms(r.text, cfg.doc_maxlen, cfg.stopwords))
+    affected = {spark_pmod_hash(t, 256) for t in delta_terms}
+    assert affected and len(affected) < len(old), (
+        "fixture must leave untouched buckets"
+    )
+
+    new = bucket_inodes(os.path.join(idx, r2["dictionary_dir"]))
+    for b, files in old.items():
+        if b in affected:
+            # rewritten: no file may be a hardlink of the old version
+            assert not set(new[b].values()) & set(files.values()), (
+                f"delta bucket {b} was not rewritten"
+            )
+        else:
+            assert new[b] == files, f"untouched bucket {b} was rewritten"
+    # delta may open brand-new buckets; every affected bucket exists
+    assert affected <= set(new)
+
+    # merged dictionary is complete: Σdf == total postings on disk
+    reader = IndexReader(spark, idx)
+    assert reader.validate()["ok"], reader.validate()
 
 
 def test_incremental_compaction_three_epochs_avgdl_growth(spark, docs01, tmp_path):
