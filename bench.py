@@ -211,7 +211,12 @@ def _serve_inprocess_fallback(index_dir: str) -> dict:
 
 
 def _measure_serving(spark, index_dir: str) -> dict:
-    from colbert_jl_spark.eval import hits_at_k, relevance_labels
+    from colbert_jl_spark.eval import (
+        hits_at_k,
+        mrr_at_k,
+        relevance_labels,
+        sample_eval_queries,
+    )
     from colbert_jl_spark.plans.build import IndexReader
     from colbert_jl_spark.queries import QUERY_SET, queries_df
 
@@ -270,7 +275,73 @@ def _measure_serving(spark, index_dir: str) -> dict:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     labels = relevance_labels(docs, q)
     out["hits_at_5"] = hits_at_k(reader.search(q), labels, k=5)
+
+    # scaled quality set (VERDICT r3 item 6): 60 generated queries, every
+    # one answerable by construction; hits@5 + MRR@10 against the SERVED
+    # index. On this synthetic corpus (29-term vocabulary) a correct
+    # ranking scores 1.0 on both — the broken-ranking probes in
+    # tests/test_eval.py prove 0 is reachable, so any dip here is a real
+    # pruning/ranking regression, not decoration.
+    eqs = sample_eval_queries(docs, reader.cfg, n_queries=60)
+    eqdf = spark.createDataFrame(eqs, "qid long, query string")
+    elabels = relevance_labels(docs, eqdf, reader.cfg).persist()
+    etop = reader.search(eqdf).persist()
+    try:
+        out["quality_scaled"] = {
+            "n_queries": len(eqs),
+            "hits_at_5": hits_at_k(etop, elabels, k=5),
+            "mrr_at_10": mrr_at_k(etop, elabels, k=10),
+        }
+    finally:
+        etop.unpersist()
+        elabels.unpersist()
     return out
+
+
+# keys copied verbatim from the full record into the compact contract line
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "sf", "cpus", "n_docs", "serve_cores",
+    "build_sec", "build_docs_per_sec", "queries",
+    "qps_batched", "qps_sequential",
+    "p50_latency_sec", "p99_latency_sec",
+    "hot_p50_latency_sec", "hot_local_p50_latency_sec",
+    "hits_at_5", "quality_scaled", "scaling_error",
+)
+
+
+def _emit(results: dict) -> dict:
+    """Split the bench record: FULL detail (every rep array, every attempt,
+    per-stage times) → bench_details.json sidecar; a COMPACT headline dict
+    → the single stdout JSON line the driver parses. Round 3's artifact
+    ended up with parsed=null because the rep arrays pushed the final line
+    past the driver's capture window (VERDICT r3 item 3) — the contract
+    line now carries only headline metrics plus a pointer to the sidecar."""
+    details_path = os.path.join(REPO, "bench_details.json")
+    with open(details_path, "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+    compact = {k: results[k] for k in _COMPACT_KEYS if k in results}
+    sc = results.get("scaling")
+    if sc:
+        cs = {
+            k: sc[k]
+            for k in (
+                "input_docs", "build_speedup", "cores_ratio",
+                "scaling_efficiency", "compute_stage_efficiency",
+                "search_efficiency", "stage_efficiency",
+            )
+            if k in sc
+        }
+        for lvl, r in sc.items():
+            if lvl.startswith("local["):
+                cs[lvl] = {
+                    "build_sec": r["build_sec"],
+                    "build_docs_per_sec": round(r["build_docs_per_sec"], 1),
+                    "build_sec_reps": r.get("build_sec_reps"),
+                    "search_sec_best": r.get("search_sec_best"),
+                }
+        compact["scaling"] = cs
+    compact["details_file"] = "bench_details.json"
+    return compact
 
 
 def main() -> None:
@@ -365,8 +436,9 @@ def main() -> None:
                         "sequential_latencies",
                         "hot_p50_latency_sec", "hot_p50_reps",
                         "hot_local_p50_latency_sec", "hot_local_p50_reps",
-                        "hits_at_5", "serve_attempts",
+                        "hits_at_5", "quality_scaled", "serve_attempts",
                     )
+                    if k in serve
                 },
             }
         )
@@ -455,7 +527,7 @@ def main() -> None:
             # emit the JSON line with the error recorded instead
             log(f"scaling runs failed: {exc!r}")
             results["scaling_error"] = repr(exc)
-            print(json.dumps(results))
+            print(json.dumps(_emit(results)))
             return
         sn = r_hi["n_docs"]
 
@@ -505,7 +577,7 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print(json.dumps(results))
+    print(json.dumps(_emit(results)))
 
 
 def scale_run(cores: int, copies: int, index_dir: str) -> None:

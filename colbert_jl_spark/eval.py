@@ -28,7 +28,7 @@ candidate count); the metric itself joins two k-bounded frames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from colbert_jl_spark.config import EngineConfig
@@ -57,6 +57,105 @@ def relevance_labels(
         .where(F.col("nt") == F.col("n_terms"))
         .select("qid", "doc_id")
     )
+
+
+def sample_eval_queries(
+    docs: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    n_queries: int = 60,
+    terms_per_query: int = 3,
+    seed: int = 7,
+) -> list[tuple[int, str]]:
+    """A deterministic, corpus-derived labeled query set of ANY size — the
+    de-saturation lever for the quality harness (VERDICT r3 item 6: a
+    fixed 8-query set pinned at hits@5 == 1.0 is a floor, not a
+    measurement).
+
+    Construction: ``n_queries`` documents are drawn by the smallest
+    ``xxhash64(doc_id, seed)`` (layout-independent, same device as
+    operators/stats.sample_docs); from each, ``terms_per_query`` of its
+    distinct indexable terms are drawn by ``xxhash64(term, doc_id, seed)``
+    and concatenated into a query. Every query is therefore GUARANTEED
+    answerable — its source document contains all its terms within the
+    index's doc_maxlen truncation — so the conjunctive-containment
+    labeler (relevance_labels) labels ≥ 1 relevant doc per query and the
+    hits/MRR denominators equal n_queries. Deterministic given
+    (corpus, cfg, seed): reruns and different partitionings score the
+    identical query set.
+
+    Scale shape: one posting-stream pass filtered by a broadcast of the
+    n_queries sampled doc_ids; the collect is n_queries×terms_per_query
+    rows. qids are assigned 0..n-1 in doc-hash order."""
+    picked = (
+        docs.select("doc_id")
+        .withColumn("h", F.xxhash64("doc_id", F.lit(seed)))
+        .orderBy("h", "doc_id")
+        .limit(n_queries)
+        .select("doc_id")
+    )
+    from colbert_jl_spark.operators.postings import term_postings
+
+    p = term_postings(docs, cfg).join(F.broadcast(picked), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.xxhash64("term", "doc_id", F.lit(seed)), "term"
+    )
+    chosen = (
+        p.select("doc_id", "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= terms_per_query)
+        .groupBy("doc_id")
+        # sort_array on (rn, term) structs keeps the draw order stable
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("query"),
+            F.xxhash64(F.col("doc_id"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    )
+    return [(qid, r.query) for qid, r in enumerate(chosen)]
+
+
+def mrr_at_k(topk: DataFrame, labels: DataFrame, k: int = 10) -> dict:
+    """Mean reciprocal rank of the FIRST relevant doc within the top-k,
+    averaged over labeled queries (0 contribution when no relevant doc is
+    ranked) — the graded companion to hits_at_k: it keeps discriminating
+    after hits@k saturates, because it rewards ranking a relevant doc
+    FIRST rather than anywhere in the window."""
+    sl = labels.storageLevel
+    own_persist = not (sl.useMemory or sl.useDisk)
+    if own_persist:
+        labels = labels.persist()
+    try:
+        first_rel = (
+            topk.where(F.col("rank") <= k)
+            .join(labels, ["qid", "doc_id"], "left_semi")
+            .groupBy("qid")
+            .agg(F.min("rank").alias("first_rank"))
+        )
+        row = (
+            labels.select("qid")
+            .distinct()
+            .join(first_rel, "qid", "left")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0))
+                ).alias("rr_sum"),
+            )
+            .first()
+        )
+        n_labeled = int(row["n"])
+        mrr = (row["rr_sum"] or 0.0) / n_labeled if n_labeled else float("nan")
+    finally:
+        if own_persist:
+            labels.unpersist()
+    return {"k": k, "n_labeled": n_labeled, "mrr": mrr}
 
 
 def hits_at_k(topk: DataFrame, labels: DataFrame, k: int = 5) -> dict:

@@ -11,7 +11,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from colbert_jl_spark.config import EngineConfig
-from colbert_jl_spark.eval import hits_at_k, relevance_labels
+from colbert_jl_spark.eval import (
+    hits_at_k,
+    mrr_at_k,
+    relevance_labels,
+    sample_eval_queries,
+)
 from colbert_jl_spark.operators.bm25 import bm25_topk
 from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
 from colbert_jl_spark.queries import QUERY_SET, queries_df
@@ -88,3 +93,50 @@ def test_metric_fails_on_a_broken_ranking(spark, docs01):
     )
     r = hits_at_k(broken, labels, k=5)
     assert r["n_labeled"] == 8 and r["n_hit"] == 0 and r["hits_rate"] == 0.0
+    assert mrr_at_k(broken, labels, k=10)["mrr"] == 0.0
+
+
+def test_mrr_is_graded_not_binary(spark):
+    """MRR must reward ranking a relevant doc FIRST: relevant at rank 1,
+    rank 4 and unranked for three labeled queries → (1 + 1/4 + 0)/3."""
+    labels = spark.createDataFrame(
+        [(0, 100), (1, 200), (2, 300)], "qid long, doc_id long"
+    )
+    topk = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 9), (1, 1, 9), (1, 2, 8), (1, 3, 7), (1, 4, 200),
+         (2, 1, 9)],
+        "qid long, rank int, doc_id long",
+    )
+    r = mrr_at_k(topk, labels, k=10)
+    assert r["n_labeled"] == 3
+    assert abs(r["mrr"] - (1.0 + 0.25 + 0.0) / 3) < 1e-12
+    # rank-11 relevant is outside the k=10 window
+    r5 = mrr_at_k(topk.where(F.col("rank") < 4), labels, k=3)
+    assert abs(r5["mrr"] - 1.0 / 3) < 1e-12
+
+
+def test_scaled_query_set_floor(spark, docs01, tmp_path):
+    """VERDICT r3 item 6: the quality harness over a GENERATED labeled set
+    of ≥50 queries. Every sampled query is answerable by construction (its
+    terms come from one source doc), the sampler is deterministic and
+    layout-independent, and the engine must keep hits@5 == MRR@10 == 1.0
+    over all 60 — on this corpus (29-term vocabulary, every query's
+    conjunctive doc set is dense) any value below 1.0 is a ranking bug,
+    and the broken-ranking probe above proves 0 is reachable."""
+    qs = sample_eval_queries(docs01, CFG, n_queries=60)
+    assert len(qs) == 60
+    assert qs == sample_eval_queries(docs01.repartition(13), CFG, n_queries=60)
+    qdf = spark.createDataFrame(qs, "qid long, query string")
+    labels = relevance_labels(docs01, qdf, CFG).cache()
+    topk = bm25_topk(docs01, qdf, CFG, CFG.top_k).cache()
+    h = hits_at_k(topk, labels, k=5)
+    assert h["n_labeled"] == 60, "every sampled query must be answerable"
+    assert h["hits_rate"] == 1.0, h
+    m = mrr_at_k(topk, labels, k=10)
+    assert m["mrr"] == 1.0, m
+
+    # the persisted WAND index scores identically on the scaled set
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, CFG).build(docs01)
+    r_wand = hits_at_k(IndexReader(spark, idx).search(qdf), labels, k=5)
+    assert r_wand == h, (r_wand, h)
