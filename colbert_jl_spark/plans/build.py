@@ -346,6 +346,39 @@ class IndexBuilder:
         with open(os.path.join(self.index_path, "plan.json")) as f:
             return json.load(f)
 
+    def build_positions(self, docs: DataFrame) -> None:
+        """OPTIONAL positional stage (VERDICT r3 item 1): persist
+        (term, doc_id, positions) — operators/phrase.token_position_lists
+        — partitioned by the SAME term_bucket hash as the block table, so
+        IndexReader.phrase() serves phrase queries from a term-pruned scan
+        instead of re-tokenizing the corpus per call. One extra corpus
+        pass over the RAW (pre-stoplist) token stream — positions cannot
+        derive from the stoplisted postings table, because phrase
+        semantics keep stopword position slots.
+
+        Run AFTER build() (needs plan.json's term_partitions); skipped if
+        already marked, resumable like every stage. plan.json records
+        {"positions": true} so readers can gate without a filesystem
+        probe. Not maintained by streaming compaction — rebuild after
+        ingest epochs, or phrase() raises a clear error if the stage is
+        missing."""
+        from colbert_jl_spark.operators.codec_blocks import with_term_partition
+        from colbert_jl_spark.operators.phrase import token_position_lists
+
+        if "positions" in _load_stages(self.index_path):
+            return
+        plan = self.plan()
+        pl = with_term_partition(
+            token_position_lists(docs, self.cfg), plan["term_partitions"]
+        )
+        self._write(
+            pl, os.path.join(self.index_path, "positions"), "term_bucket"
+        )
+        plan["positions"] = True
+        with open(os.path.join(self.index_path, "plan.json"), "w") as f:
+            json.dump(plan, f, indent=2, sort_keys=True)
+        _mark_stage(self.index_path, "positions")
+
 
 class IndexReader:
     """Query-side handle — the Searcher analogue. Unlike the reference,
@@ -711,6 +744,44 @@ class IndexReader:
             for rank, j in enumerate(sel, start=1):
                 rows.append((int(qid), rank, int(ids[j]), float(r6[j])))
         return self.spark.createDataFrame(rows, out_schema)
+
+    def phrase(self, phrases: list[tuple[int, str]]) -> DataFrame:
+        """(pid, doc_id, n_occurrences) — exact consecutive-token phrase
+        matching served from the PERSISTED positions stage (VERDICT r3
+        item 1): the phrase's terms prune the positional scan by term
+        IN-list and term_bucket directory (both computed driver-side, no
+        pre-query Spark job — the same nprobe shape as search()), so a
+        phrase query reads its terms' slice of the corpus instead of
+        re-tokenizing it (operators/phrase.phrase_matches, the inline
+        shape, remains for ad-hoc frames). Output-identical to the inline
+        operator; gated in tests/test_phrase.py with a plan assertion
+        that the query DAG scans the positions table, not the corpus."""
+        from colbert_jl_spark.functions.hashing import spark_pmod_hash
+        from colbert_jl_spark.functions.tokenizer import py_tokens
+        from colbert_jl_spark.operators.phrase import (
+            phrase_matches_from_positions,
+        )
+
+        self.refresh()
+        if not self.plan.get("positions"):
+            raise RuntimeError(
+                "this index has no positions stage — run "
+                "IndexBuilder.build_positions(docs) once, or use the "
+                "inline operators/phrase.phrase_matches(docs, phrases)"
+            )
+        terms = sorted(
+            {t for _, text in phrases for t in py_tokens(text, None)}
+        )
+        pos = self.spark.read.parquet(
+            os.path.join(self.index_path, "positions")
+        )
+        if terms:
+            pos = pos.where(F.col("term").isin(terms))
+            tp = self.plan.get("term_partitions")
+            if tp:
+                buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
+                pos = pos.where(F.col("term_bucket").isin(buckets))
+        return phrase_matches_from_positions(pos, phrases, self.spark)
 
     def load_hot(self) -> "IndexReader":
         """Serving mode: pin the block table in executor memory so repeated
