@@ -326,6 +326,57 @@ def posting_blocks_columnar(
     )
 
 
+def blocks_to_postings(
+    blocks: DataFrame, cfg: EngineConfig = EngineConfig()
+) -> DataFrame:
+    """Inverse of the block encoders: block rows → the posting stream
+    (term, doc_id, tf, doclen). Used by minor compaction
+    (streaming/ingest.minor_compact) to re-encode range-overlapping
+    segments — decode runs distributed in mapInPandas over exactly the
+    rows the caller pruned to, never the whole table. Handles both the
+    payload formats (varint/packed bytes) and the columnar array layout."""
+    import numpy as np
+
+    from colbert_jl_spark.functions.codec import (
+        decode_block,
+        decode_block_packed,
+    )
+
+    decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
+    is_columnar = "doc_gaps" in blocks.columns
+    cols = ["term", "first_docid"] + (
+        ["doc_gaps", "tfs", "doclens"] if is_columnar else ["payload"]
+    )
+
+    def explode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for r in pdf.itertuples():
+                if is_columnar:
+                    d = np.asarray(r.doc_gaps, dtype=np.int64).cumsum()
+                    d += int(r.first_docid) - d[0]
+                    t = np.asarray(r.tfs, dtype=np.int64)
+                    l = np.asarray(r.doclens, dtype=np.int64)
+                else:
+                    d, t, l = decoder(bytes(r.payload))
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "term": r.term,
+                            "doc_id": d,
+                            "tf": t.astype("int64"),
+                            "doclen": l.astype("int32"),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return blocks.select(*cols).mapInPandas(
+        explode_batches, "term string, doc_id long, tf long, doclen int"
+    )
+
+
 def with_term_partition(blocks: DataFrame, num_partitions: int = 64) -> DataFrame:
     """Add the term_bucket partition column used for on-disk pruning."""
     return blocks.withColumn(

@@ -415,6 +415,151 @@ def compact_streamed_index(
     return plan
 
 
+def minor_compact(
+    spark: SparkSession,
+    index_path: str,
+    cfg: EngineConfig = EngineConfig(),
+) -> dict:
+    """Restore per-(term, bucket) block-segment DISJOINTNESS after
+    interleaved incremental epochs — O(touched), not the major
+    compaction's O(corpus) (VERDICT r3 item 2).
+
+    Incremental compactions append one block SEGMENT per epoch per
+    (term, bucket). When ingested doc ids interleave across epochs (url-
+    derived ids do), segment docid ranges overlap and the WAND cursor
+    must eagerly decode + merge-sort those groups
+    (operators/wand._TermCursor._merge_overlapping_segments) — correct,
+    but a streamed head term loses block-max skipping until a major
+    compaction. This pass:
+
+      1. finds (term, bucket) groups whose sorted segments violate
+         ``first_docid > prev last_docid`` (one window pass over block
+         METADATA — no payload decode),
+      2. decodes ONLY those groups' blocks back to postings
+         (codec_blocks.blocks_to_postings), re-encodes them with the
+         plan's frozen bucket_size into disjoint blocks with CURRENT
+         df/idf/avgdl statistics, and
+      3. rewrites ONLY the term_bucket partition dirs containing an
+         overlapping group (tmp write → per-dir swap); every other
+         partition dir is byte-untouched.
+
+    Crash safety rides the same write-ahead ``in_progress`` marker as the
+    incremental path (recovery = major compaction). plan.json is
+    rewritten (minor_compactions counter) so live IndexReaders refresh
+    their snapshot. Returns {mode, groups, rewritten_term_buckets}."""
+    from pyspark.sql import Window
+
+    from colbert_jl_spark.operators.codec_blocks import (
+        blocks_to_postings,
+        collision_free_tid_salt,
+        posting_blocks,
+        posting_blocks_columnar,
+        with_term_partition,
+    )
+
+    state = _load_compact_state(index_path)
+    if state is None:
+        raise RuntimeError(
+            "minor_compact applies to streamed indexes (no _COMPACT.json "
+            "here); batch-built indexes are disjoint by construction"
+        )
+    plan_path = os.path.join(index_path, "plan.json")
+    with open(plan_path) as f:
+        plan = json.load(f)
+    blocks_dir = os.path.join(index_path, "blocks")
+    blocks = spark.read.parquet(blocks_dir)
+
+    # 1. overlap detection on metadata only
+    w = Window.partitionBy("term", "bucket").orderBy(
+        "first_docid", "last_docid"
+    )
+    flagged = blocks.withColumn(
+        "_prev_last", F.lag("last_docid").over(w)
+    ).withColumn(
+        "_ov",
+        F.col("_prev_last").isNotNull()
+        & (F.col("first_docid") <= F.col("_prev_last")),
+    )
+    overlapping = (
+        flagged.groupBy("term", "bucket", "term_bucket")
+        .agg(F.max(F.col("_ov").cast("int")).alias("has_ov"))
+        .where(F.col("has_ov") == 1)
+        .select("term", "bucket", "term_bucket")
+        .cache()
+    )
+    try:
+        tbs = sorted(
+            r.term_bucket
+            for r in overlapping.select("term_bucket").distinct().collect()
+        )
+        if not tbs:
+            return {"mode": "noop", "groups": 0, "rewritten_term_buckets": []}
+        n_groups = overlapping.count()
+
+        # 2. decode ONLY the overlapping groups, re-encode disjoint
+        sub = blocks.where(F.col("term_bucket").isin(tbs))
+        marked = sub.join(
+            F.broadcast(overlapping.select("term", "bucket")).withColumn(
+                "_redo", F.lit(True)
+            ),
+            ["term", "bucket"],
+            "left",
+        )
+        keep = marked.where(F.col("_redo").isNull()).drop("_redo")
+        redo = marked.where(F.col("_redo")).drop("_redo")
+        postings = blocks_to_postings(redo, cfg)
+        from colbert_jl_spark.plans.build import IndexReader
+
+        dic = IndexReader(spark, index_path).dictionary
+        encode = (
+            posting_blocks_columnar
+            if cfg.block_format == "columnar"
+            else posting_blocks
+        )
+        fresh = encode(
+            postings,
+            dic.select("term", "df"),
+            plan["n_docs"],
+            plan["avgdl"],
+            cfg,
+            bucket_size=plan["bucket_size"],
+            salt=collision_free_tid_salt(dic),
+        )
+        fresh = with_term_partition(fresh, plan["term_partitions"])
+        out = keep.unionByName(fresh.select(*keep.columns))
+
+        # 3. rewrite only the touched partition dirs
+        tmp = blocks_dir + ".minor_tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+        _save_compact_state(
+            index_path, {**state, "in_progress": {"minor": tbs}}
+        )
+        for tb in tbs:
+            entry = f"term_bucket={tb}"
+            dst = os.path.join(blocks_dir, entry)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(tmp, entry), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        overlapping.unpersist()
+
+    # bump plan.json so live readers refresh their blocks snapshot; record
+    # the pass for observability
+    inc = plan.setdefault("incremental", {"epochs": 1, "min_enc_avgdl": plan["avgdl"]})
+    inc["minor_compactions"] = int(inc.get("minor_compactions", 0)) + 1
+    with open(plan_path, "w") as f:
+        json.dump(plan, f, indent=2, sort_keys=True)
+    _save_compact_state(index_path, state)  # clears in_progress
+    return {
+        "mode": "minor",
+        "groups": int(n_groups),
+        "rewritten_term_buckets": tbs,
+    }
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     watermark: str = "10 minutes",

@@ -17,6 +17,7 @@ from colbert_jl_spark.queries import queries_df
 from colbert_jl_spark.sources.pages import pages_from_documents
 from colbert_jl_spark.streaming.ingest import (
     compact_streamed_index,
+    minor_compact,
     stream_pages_to_postings,
     windowed_event_counts,
 )
@@ -324,6 +325,107 @@ def test_incremental_compaction_three_epochs_avgdl_growth(spark, docs01, tmp_pat
         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_minor_compaction_restores_segment_disjointness(spark, docs01, tmp_path):
+    """VERDICT r3 item 2: after interleaved incremental epochs, minor
+    compaction must rewrite ONLY the term_buckets containing range-
+    overlapping (term, bucket) segment groups, restore the disjointness
+    invariant the lazy WAND cursor path requires (the cursor merges
+    eagerly iff ranges overlap — disjointness IS the lazy-path assertion),
+    leave every other term_bucket dir byte-untouched, and preserve rank
+    identity vs the from-scratch oracle."""
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(docs01)
+    for i, pred in enumerate(
+        (F.crc32(F.col("url")) % 2 == 0, F.crc32(F.col("url")) % 2 == 1)
+    ):
+        pages.where(pred).write.mode("append").parquet(pages_dir)
+        stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+        compact_streamed_index(spark, idx, cfg)
+
+    def segment_ranges():
+        return (
+            spark.read.parquet(os.path.join(idx, "blocks"))
+            .select("term", "bucket", "term_bucket", "first_docid", "last_docid")
+            .toPandas()
+        )
+
+    def overlapping_groups(bl):
+        bad = set()
+        for (t, b), g in bl.groupby(["term", "bucket"]):
+            g = g.sort_values(["first_docid", "last_docid"])
+            if (
+                g["first_docid"].iloc[1:].values
+                <= g["last_docid"].iloc[:-1].values
+            ).any():
+                bad.add((t, b))
+        return bad
+
+    before = segment_ranges()
+    bad = overlapping_groups(before)
+    assert bad, "interleaved fixture must create overlapping segments"
+
+    def bucket_sigs():
+        out = {}
+        root = os.path.join(idx, "blocks")
+        for entry in os.listdir(root):
+            if entry.startswith("term_bucket="):
+                d = os.path.join(root, entry)
+                out[int(entry.split("=", 1)[1])] = {
+                    f: (os.path.getmtime(os.path.join(d, f)),
+                        os.path.getsize(os.path.join(d, f)))
+                    for f in os.listdir(d) if f.startswith("part-")
+                }
+        return out
+
+    sig_before = bucket_sigs()
+    rep = minor_compact(spark, idx, cfg)
+    assert rep["mode"] == "minor"
+    assert rep["groups"] == len(bad)
+    expect_tbs = set(
+        before.set_index(["term", "bucket"])
+        .loc[list(bad)]["term_bucket"].unique().tolist()
+    )
+    assert set(rep["rewritten_term_buckets"]) == expect_tbs
+
+    # disjointness restored EVERYWHERE → the cursor takes the lazy path
+    after = segment_ranges()
+    assert not overlapping_groups(after)
+    # postings conserved (pure re-blocking, nothing lost or duplicated)
+    bl = spark.read.parquet(os.path.join(idx, "blocks"))
+    assert (
+        bl.agg(F.sum("n_docs")).first()[0]
+        == spark.read.parquet(os.path.join(idx, "postings")).count()
+    )
+
+    # untouched term_buckets byte-identical
+    sig_after = bucket_sigs()
+    for tb, files in sig_before.items():
+        if tb not in rep["rewritten_term_buckets"]:
+            assert sig_after[tb] == files, f"untouched bucket {tb} rewritten"
+
+    # rank identity vs the from-scratch oracle, both executors
+    reader = IndexReader(spark, idx)
+    got = (
+        reader.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        bm25_topk(docs01, queries_df(spark), cfg)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+    # idempotent: a second pass finds nothing to do
+    assert minor_compact(spark, idx, cfg)["mode"] == "noop"
+
+    # and further incremental epochs still work after a minor pass
+    assert compact_streamed_index(spark, idx, cfg)["compaction"]["mode"] == "noop"
 
 
 def test_crashed_incremental_compaction_recovers_via_full_rebuild(
