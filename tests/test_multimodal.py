@@ -67,9 +67,98 @@ def test_sample_frames(media):
 
 
 def test_real_decode_is_explicit_stub():
-    # compressed formats stay a documented boundary (no PIL in container)
+    # JPEG stays a documented boundary (no PIL/libjpeg in container)
     with pytest.raises(NotImplementedError, match="PIL"):
-        _decode_fake_image(b"\x89PNG\r\n\x1a\n....")
+        _decode_fake_image(b"\xff\xd8\xff\xe0....")
+    # unsupported PNG variants name the boundary too (16-bit depth)
+    from colbert_jl_spark.operators.multimodal import PNG_MAGIC, _png_chunk
+    import struct as _struct
+
+    bad = PNG_MAGIC + _png_chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="16"):
+        _decode_fake_image(bad)
+
+
+def test_real_png_roundtrip_and_all_filters():
+    """REAL PNG (stdlib zlib) — VERDICT r3 item 7: gray + RGB round-trips
+    through our encoder, and a hand-assembled PNG using EVERY scanline
+    filter (None/Sub/Up/Average/Paeth — forward-filtered here from known
+    pixels, exactly per the PNG spec) decodes back to those pixels."""
+    import struct as _struct
+    import zlib
+
+    from colbert_jl_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+        decode_png_gray,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    assert (decode_png_gray(encode_png(gray)) == gray).all()
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    back = decode_png(encode_png(rgb))
+    assert back.shape == (6, 5, 3) and (back == rgb).all()
+    want_gray = (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert (decode_png_gray(encode_png(rgb)) == want_gray).all()
+
+    # hand-filtered RGB image exercising filters 0..4, one per row
+    h, w, bpp = 5, 4, 3
+    px = rng.integers(0, 256, size=(h, w * bpp), dtype=np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        prev = px[y - 1] if y else np.zeros(w * bpp, dtype=np.int64)
+        for x in range(w * bpp):
+            a = px[y][x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            raw.append(int((px[y][x] - pred) % 256))
+    payload = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert (got.reshape(h, w * bpp) == px).all()
+
+
+def test_real_png_decodes_and_resizes_end_to_end(spark):
+    """PNG through the SAME magic-dispatched mapInPandas operators as
+    BMP/WAV/fake payloads — feature extraction and resize."""
+    from colbert_jl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    png = encode_png(rgb)
+    want = (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), (9, 12, None, None, "image/png"))],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(media).toPandas().iloc[0].features
+    assert abs(feats[0] - want.astype(np.float64).mean()) < 1e-9
+    small = resize_images(media, out_w=4, out_h=4).toPandas()
+    arr = _decode_fake_image(bytes(small.iloc[0].payload))
+    yi = (np.arange(4) * 12 // 4).astype(int)
+    xi = (np.arange(4) * 9 // 4).astype(int)
+    assert (arr == want[np.ix_(yi, xi)]).all()
 
 
 def test_real_wav_decodes_end_to_end(spark):
