@@ -108,6 +108,30 @@ def _save_compact_state(index_path: str, state: dict) -> None:
     os.replace(tmp, _compact_state_file(index_path))
 
 
+def _invalidate_positions(index_path: str, plan: dict | None = None) -> None:
+    """Any compaction that ADDS documents invalidates the optional
+    positional stage: positions derive from the RAW (pre-stoplist) token
+    stream, which cannot be reconstructed from the stoplisted postings the
+    compactor has. Dropping the stage marker + plan key + directory makes
+    IndexReader.phrase() fail loudly with the rebuild instruction
+    (IndexBuilder.build_positions) instead of silently serving phrase
+    results that miss the newly ingested documents."""
+    import shutil
+
+    from colbert_jl_spark.plans.build import _load_stages
+
+    stages = _load_stages(index_path)
+    if "positions" in stages:
+        stages.pop("positions")
+        tmp = os.path.join(index_path, "_STAGES.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stages, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(index_path, "_STAGES.json"))
+    shutil.rmtree(os.path.join(index_path, "positions"), ignore_errors=True)
+    if plan is not None:
+        plan.pop("positions", None)
+
+
 def compact_streamed_index(
     spark: SparkSession,
     index_path: str,
@@ -197,6 +221,8 @@ def compact_streamed_index(
         for entry in os.listdir(index_path):
             if entry.startswith("dictionary.v"):
                 shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
+        # the rebuilt index has MORE docs than the positions stage saw
+        _invalidate_positions(index_path)
         with open(stage_file, "w") as f:
             json.dump(stages, f)
         _mark_stage(index_path, "postings", {"streamed": True})
@@ -399,6 +425,9 @@ def compact_streamed_index(
     plan["incremental"] = {"epochs": epoch, "min_enc_avgdl": min_enc}
     if "total_postings" in plan:
         plan["total_postings"] = int(plan["total_postings"]) + postings_read
+    # the delta docs are not in the (optional) positional stage — drop it
+    # so phrase() fails loudly instead of silently missing new documents
+    _invalidate_positions(index_path, plan)
     with open(plan_path, "w") as f:
         json.dump(plan, f, indent=2, sort_keys=True)
     _save_compact_state(

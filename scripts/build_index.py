@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--format", choices=("pages", "documents"), default="documents")
     ap.add_argument("--block-format", choices=("varint", "packed", "columnar"), default="varint")
     ap.add_argument("--force", action="store_true", help="rebuild from scratch")
+    ap.add_argument("--positions", action="store_true",
+                    help="also build the optional positional stage "
+                         "(phrase-query serving via IndexReader.phrase)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -47,7 +50,11 @@ def main() -> int:
         docs = docs_from_pages(docs)
 
     cfg = EngineConfig(block_format=args.block_format)
-    plan = IndexBuilder(args.index, cfg).build(docs, force=args.force)
+    builder = IndexBuilder(args.index, cfg)
+    plan = builder.build(docs, force=args.force)
+    if args.positions:
+        builder.build_positions(docs)
+        plan = builder.plan()
     report = IndexReader(spark, args.index).validate()
     print(json.dumps({"plan": plan, "validation": report}, default=str))
     spark.stop()

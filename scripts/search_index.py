@@ -25,9 +25,11 @@ def main() -> int:
     ap.add_argument("--query", required=True, action="append",
                     help="repeatable; each becomes one qid")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=("topk", "intersect"), default="topk",
+    ap.add_argument("--mode", choices=("topk", "intersect", "phrase"), default="topk",
                     help="topk = disjunctive block-max WAND; intersect = "
-                         "conjunctive (docs must contain every query term)")
+                         "conjunctive (docs must contain every query term); "
+                         "phrase = exact consecutive-token matching from the "
+                         "persisted positions stage (IndexReader.phrase)")
     ap.add_argument("--local-merge", action="store_true",
                     help="interactive latency mode: one pruned collect, WAND "
                          "runs driver-side (IndexReader.search_local)")
@@ -45,6 +47,15 @@ def main() -> int:
     )
     q = spark.createDataFrame(list(enumerate(args.query)), schema)
     reader = IndexReader(spark, args.index)
+    if args.mode == "phrase":
+        out = reader.phrase(list(enumerate(args.query)))
+        for row in out.orderBy("pid", "doc_id").collect():
+            print(json.dumps(
+                {"pid": row.pid, "doc_id": row.doc_id,
+                 "n_occurrences": row.n_occurrences}
+            ))
+        spark.stop()
+        return 0
     run = reader.search_local if args.local_merge else reader.search
     for row in run(q, args.k, mode=args.mode).orderBy("qid", "rank").collect():
         print(json.dumps(

@@ -486,6 +486,58 @@ def test_crashed_incremental_compaction_recovers_via_full_rebuild(
     assert not json.load(open(os.path.join(idx, "_COMPACT.json"))).get("in_progress")
 
 
+def test_compaction_invalidates_stale_positions(spark, docs001, tmp_path):
+    """The optional positional stage derives from the raw token stream,
+    which a compaction cannot reconstruct — so ingesting new documents
+    must DROP it (stage marker + plan key + dir) and make phrase() fail
+    loudly with the rebuild instruction, never silently serve phrase
+    results that miss the new docs."""
+    from colbert_jl_spark.operators.phrase import phrase_matches
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+    from colbert_jl_spark.sources.pages import docs_from_pages
+
+    cfg = EngineConfig(block_size=32)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(docs001)
+    w1 = pages.where(F.crc32(F.col("url")) % 2 == 0)
+    w2 = pages.where(F.crc32(F.col("url")) % 2 == 1)
+
+    w1.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    compact_streamed_index(spark, idx, cfg)
+
+    builder = IndexBuilder(idx, cfg)
+    builder.build_positions(docs_from_pages(w1))
+    reader = IndexReader(spark, idx)
+    phrases = [(0, "data table")]
+    served_w1 = reader.phrase(phrases).count()
+
+    w2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    compact_streamed_index(spark, idx, cfg)
+
+    # the SAME reader (refresh) and a fresh one both refuse stale service
+    for r in (reader, IndexReader(spark, idx)):
+        with pytest.raises(RuntimeError, match="positions stage"):
+            r.phrase(phrases)
+    assert not os.path.exists(os.path.join(idx, "positions"))
+
+    # rebuilding over the full corpus restores exact service
+    builder.build_positions(docs001)
+    got = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in IndexReader(spark, idx).phrase(phrases).collect()
+    }
+    want = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in phrase_matches(docs001, phrases, cfg).collect()
+    }
+    assert got == want and len(got) >= served_w1
+
+
 def test_stream_resume_is_idempotent(spark, docs001, tmp_path):
     """Re-running the stream over the same checkpoint ingests nothing new
     (exactly-once at batch granularity)."""
