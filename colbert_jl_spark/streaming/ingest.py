@@ -48,10 +48,21 @@ def stream_pages_to_postings(
     checkpoint_dir: str,
     cfg: EngineConfig = EngineConfig(),
     available_now: bool = True,
+    positions: bool = False,
 ):
     """Start (and with available_now=True, run to completion) the ingest
-    stream. Returns the StreamingQuery."""
+    stream. Returns the StreamingQuery.
+
+    ``positions=True`` additionally persists each micro-batch's RAW-token
+    positional postings (operators/phrase.token_position_lists) under
+    ``positions_raw/batch=N`` — the per-batch source the compactor folds
+    into the queryable ``positions`` stage, making phrase queries a
+    maintained capability on streamed indexes (without it, any compaction
+    that adds docs must invalidate a batch-built positions stage, because
+    positions derive from the raw token stream the stoplisted postings
+    cannot reconstruct)."""
     from colbert_jl_spark.operators.codec_blocks import term_postings_with_doclen
+    from colbert_jl_spark.operators.phrase import token_position_lists
     from colbert_jl_spark.sources.pages import docs_from_pages
 
     os.makedirs(os.path.join(index_path, "postings"), exist_ok=True)
@@ -71,6 +82,10 @@ def stream_pages_to_postings(
         # checkpoint-replayed batch overwrites itself instead of doubling
         out = os.path.join(index_path, "postings", f"batch={batch_id}")
         postings.write.mode("overwrite").parquet(out)
+        if positions:
+            token_position_lists(docs, cfg).write.mode("overwrite").parquet(
+                os.path.join(index_path, "positions_raw", f"batch={batch_id}")
+            )
         n_postings = batch_df.sparkSession.read.parquet(out).count()
         log_dir = os.path.join(index_path, "ingest_log", f"batch={batch_id}")
         batch_df.sparkSession.createDataFrame(
@@ -130,6 +145,46 @@ def _invalidate_positions(index_path: str, plan: dict | None = None) -> None:
     shutil.rmtree(os.path.join(index_path, "positions"), ignore_errors=True)
     if plan is not None:
         plan.pop("positions", None)
+
+
+def _positions_raw_complete(index_path: str, batch_ids) -> bool:
+    """True iff EVERY given batch has a persisted positions_raw dir (the
+    ingest ran with positions=True for all of them) — the condition for
+    maintaining the positions stage through a compaction instead of
+    invalidating it."""
+    return bool(batch_ids) and all(
+        os.path.isdir(os.path.join(index_path, "positions_raw", f"batch={b}"))
+        for b in batch_ids
+    )
+
+
+def _rebuild_positions_from_raw(
+    spark: SparkSession, index_path: str, plan: dict, batch_ids
+) -> dict:
+    """Fold the per-batch positions_raw captures into the queryable
+    ``positions`` stage (term_bucket-partitioned, same layout as
+    IndexBuilder.build_positions writes). Called by the full/major
+    compaction; no-op when any batch lacks its raw capture."""
+    if not _positions_raw_complete(index_path, batch_ids):
+        return plan
+    from colbert_jl_spark.operators.codec_blocks import with_term_partition
+    from colbert_jl_spark.plans.build import _atomic_write, _mark_stage
+
+    raw = spark.read.parquet(
+        *[
+            os.path.join(index_path, "positions_raw", f"batch={b}")
+            for b in batch_ids
+        ]
+    )
+    pl = with_term_partition(
+        raw.select("term", "doc_id", "positions"), plan["term_partitions"]
+    )
+    _atomic_write(pl, os.path.join(index_path, "positions"), "term_bucket")
+    plan["positions"] = True
+    with open(os.path.join(index_path, "plan.json"), "w") as f:
+        json.dump(plan, f, indent=2, sort_keys=True)
+    _mark_stage(index_path, "positions")
+    return plan
 
 
 def compact_streamed_index(
@@ -214,15 +269,17 @@ def compact_streamed_index(
         import shutil
 
         stages = _load_stages(index_path)
-        for s in ("plan", "dictionary", "blocks", "lineage"):
+        # "positions" is in the drop list too: the rebuilt index has MORE
+        # docs than any existing positions stage saw (the stage dir is
+        # removed here and either rebuilt from positions_raw below or
+        # left absent so phrase() fails loudly)
+        for s in ("plan", "dictionary", "blocks", "lineage", "positions"):
             stages.pop(s, None)
             shutil.rmtree(os.path.join(index_path, s), ignore_errors=True)
         # stale versioned dictionary dirs from prior incremental epochs
         for entry in os.listdir(index_path):
             if entry.startswith("dictionary.v"):
                 shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
-        # the rebuilt index has MORE docs than the positions stage saw
-        _invalidate_positions(index_path)
         with open(stage_file, "w") as f:
             json.dump(stages, f)
         _mark_stage(index_path, "postings", {"streamed": True})
@@ -234,6 +291,12 @@ def compact_streamed_index(
         # as "new" later — double-counted (see finish_from_postings)
         plan = builder.finish_from_postings(
             spark, n_docs_total=int(n_docs), batch_ids=sorted(batch_rows)
+        )
+        # when the ingest captured per-batch raw positions, the positions
+        # stage is REBUILT here — phrase queries stay servable on streamed
+        # indexes across major compactions
+        plan = _rebuild_positions_from_raw(
+            spark, index_path, plan, sorted(batch_rows)
         )
         _save_compact_state(
             index_path,
@@ -425,9 +488,29 @@ def compact_streamed_index(
     plan["incremental"] = {"epochs": epoch, "min_enc_avgdl": min_enc}
     if "total_postings" in plan:
         plan["total_postings"] = int(plan["total_postings"]) + postings_read
-    # the delta docs are not in the (optional) positional stage — drop it
-    # so phrase() fails loudly instead of silently missing new documents
-    _invalidate_positions(index_path, plan)
+    # positions stage: MAINTAIN it when every delta batch carried a raw
+    # positional capture — the delta rows append under the same
+    # term_bucket partitioning (statistics-free, doc sets disjoint, so a
+    # pure append is exactly correct; covered by the in_progress marker
+    # above). Otherwise drop it so phrase() fails loudly instead of
+    # silently missing the new documents.
+    if plan.get("positions") and _positions_raw_complete(index_path, new_ids):
+        from colbert_jl_spark.operators.codec_blocks import with_term_partition as _wtp
+
+        delta_pos = spark.read.parquet(
+            *[
+                os.path.join(index_path, "positions_raw", f"batch={b}")
+                for b in new_ids
+            ]
+        )
+        _wtp(
+            delta_pos.select("term", "doc_id", "positions"),
+            plan["term_partitions"],
+        ).write.mode("append").partitionBy("term_bucket").parquet(
+            os.path.join(index_path, "positions")
+        )
+    else:
+        _invalidate_positions(index_path, plan)
     with open(plan_path, "w") as f:
         json.dump(plan, f, indent=2, sort_keys=True)
     _save_compact_state(

@@ -538,6 +538,59 @@ def test_compaction_invalidates_stale_positions(spark, docs001, tmp_path):
     assert got == want and len(got) >= served_w1
 
 
+def test_streamed_positions_survive_compactions(spark, docs001, tmp_path):
+    """With positions=True the ingest captures per-batch RAW positional
+    postings, and the compactor MAINTAINS the positions stage instead of
+    invalidating it: the initial full compaction builds it from the raw
+    captures, an incremental epoch appends only the delta's rows, and a
+    major compaction rebuilds it — phrase queries stay exact on streamed
+    indexes at every step."""
+    from colbert_jl_spark.operators.phrase import phrase_matches
+    from colbert_jl_spark.plans.build import IndexReader
+    from colbert_jl_spark.sources.pages import docs_from_pages
+
+    cfg = EngineConfig(block_size=32)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    phrases = [(0, "data table"), (1, "the data"), (2, "zzzmissing phrase")]
+
+    def served():
+        return {
+            (r.pid, r.doc_id): r.n_occurrences
+            for r in IndexReader(spark, idx).phrase(phrases).collect()
+        }
+
+    def inline(docs):
+        return {
+            (r.pid, r.doc_id): r.n_occurrences
+            for r in phrase_matches(docs, phrases, cfg).collect()
+        }
+
+    pages = pages_from_documents(docs001)
+    w1 = pages.where(F.crc32(F.col("url")) % 2 == 0)
+    w2 = pages.where(F.crc32(F.col("url")) % 2 == 1)
+
+    w1.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg, positions=True)
+    plan1 = compact_streamed_index(spark, idx, cfg)
+    assert plan1.get("positions") is True
+    assert served() == inline(docs_from_pages(w1))
+
+    w2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg, positions=True)
+    plan2 = compact_streamed_index(spark, idx, cfg)
+    assert plan2["compaction"]["mode"] == "incremental"
+    assert plan2.get("positions") is True
+    full_truth = inline(docs001)
+    assert served() == full_truth
+    assert full_truth  # fixture phrases must match something
+
+    # and across a major compaction (stage dropped + rebuilt from raw)
+    compact_streamed_index(spark, idx, cfg, full=True)
+    assert served() == full_truth
+
+
 def test_stream_resume_is_idempotent(spark, docs001, tmp_path):
     """Re-running the stream over the same checkpoint ingests nothing new
     (exactly-once at batch granularity)."""
