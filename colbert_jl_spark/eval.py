@@ -73,51 +73,61 @@ def sample_eval_queries(
 
     Construction: ``n_queries`` documents are drawn by the smallest
     ``xxhash64(doc_id, seed)`` (layout-independent, same device as
-    operators/stats.sample_docs); from each, ``terms_per_query`` of its
-    distinct indexable terms are drawn by ``xxhash64(term, doc_id, seed)``
-    and concatenated into a query. Every query is therefore GUARANTEED
-    answerable — its source document contains all its terms within the
-    index's doc_maxlen truncation — so the conjunctive-containment
-    labeler (relevance_labels) labels ≥ 1 relevant doc per query and the
-    hits/MRR denominators equal n_queries. Deterministic given
-    (corpus, cfg, seed): reruns and different partitionings score the
-    identical query set.
+    operators/stats.sample_docs) from the docs that HAVE at least one
+    indexable term — empty or all-stopword docs can never yield a query,
+    so drawing from the posting stream's doc ids (not the raw docs table)
+    is what keeps the denominator contract exact. From each drawn doc,
+    ``terms_per_query`` of its distinct indexable terms are drawn by
+    ``xxhash64(term, doc_id, seed)`` and concatenated into a query. Every
+    query is therefore GUARANTEED answerable — its source document
+    contains all its terms within the index's doc_maxlen truncation — so
+    the conjunctive-containment labeler (relevance_labels) labels ≥ 1
+    relevant doc per query and the hits/MRR denominators equal
+    len(result) == min(n_queries, #docs with ≥1 term). Deterministic
+    given (corpus, cfg, seed): reruns and different partitionings score
+    the identical query set.
 
-    Scale shape: one posting-stream pass filtered by a broadcast of the
-    n_queries sampled doc_ids; the collect is n_queries×terms_per_query
-    rows. qids are assigned 0..n-1 in doc-hash order."""
-    picked = (
-        docs.select("doc_id")
-        .withColumn("h", F.xxhash64("doc_id", F.lit(seed)))
-        .orderBy("h", "doc_id")
-        .limit(n_queries)
-        .select("doc_id")
-    )
+    Scale shape: one posting-stream pass (persisted for its two
+    consumers) filtered by a broadcast of the n_queries sampled doc_ids;
+    the collect is n_queries×terms_per_query rows. qids are assigned
+    0..n-1 in doc-hash order."""
     from colbert_jl_spark.operators.postings import term_postings
 
-    p = term_postings(docs, cfg).join(F.broadcast(picked), "doc_id")
-    w = Window.partitionBy("doc_id").orderBy(
-        F.xxhash64("term", "doc_id", F.lit(seed)), "term"
-    )
-    chosen = (
-        p.select("doc_id", "term")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= terms_per_query)
-        .groupBy("doc_id")
-        # sort_array on (rn, term) structs keeps the draw order stable
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("rn", "term"))),
-                    lambda s: s["term"],
-                ),
-                " ",
-            ).alias("query"),
-            F.xxhash64(F.col("doc_id"), F.lit(seed)).alias("h"),
+    p_all = term_postings(docs, cfg).persist()
+    try:
+        picked = (
+            p_all.select("doc_id")
+            .distinct()
+            .withColumn("h", F.xxhash64("doc_id", F.lit(seed)))
+            .orderBy("h", "doc_id")
+            .limit(n_queries)
+            .select("doc_id")
         )
-        .orderBy("h", "doc_id")
-        .collect()
-    )
+        p = p_all.join(F.broadcast(picked), "doc_id")
+        w = Window.partitionBy("doc_id").orderBy(
+            F.xxhash64("term", "doc_id", F.lit(seed)), "term"
+        )
+        chosen = (
+            p.select("doc_id", "term")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= terms_per_query)
+            .groupBy("doc_id")
+            # sort_array on (rn, term) structs keeps the draw order stable
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("rn", "term"))),
+                        lambda s: s["term"],
+                    ),
+                    " ",
+                ).alias("query"),
+                F.xxhash64(F.col("doc_id"), F.lit(seed)).alias("h"),
+            )
+            .orderBy("h", "doc_id")
+            .collect()
+        )
+    finally:
+        p_all.unpersist()
     return [(qid, r.query) for qid, r in enumerate(chosen)]
 
 

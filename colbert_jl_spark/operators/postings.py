@@ -85,9 +85,13 @@ def posting_runs(
     Per-salt runs are spread, NOT unbounded: with the default 8 salt
     buckets a df≈1e9 web head term still puts ~1.25e8 entries (~2 GB) in
     one aggregation value — the same 2 GiB-value failure mode
-    posting_lists guards against. The sub_df guard fails that query loudly
-    (sizing salt_buckets ≈ df_max / max_array_len is the fix) instead of
-    letting an executor OOM mid-stage."""
+    posting_lists guards against. The in-plan sub_df guard turns a
+    moderately-over-bound run into a loud, named error (sizing
+    salt_buckets ≈ df_max / max_array_len is the fix) — but it evaluates
+    on the aggregation's OUTPUT row, so a run big enough to blow the
+    2 GiB buffer inside collect_list itself dies before the guard can
+    speak. When df_max/salt_buckets may approach the bound, call
+    ``check_run_bounds`` (an eager count-only pre-pass) first."""
     s = cfg.salt_buckets
     entry = F.struct(F.col("doc_id"), F.col("tf"))
     guard_msg = F.concat(
@@ -114,6 +118,40 @@ def posting_runs(
     )
 
 
+def check_run_bounds(
+    postings: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    max_array_len: int = MAX_POSTING_ARRAY_LEN,
+) -> None:
+    """EAGER pre-flight for the array-output APIs: one count-only
+    aggregation (map-side combinable — no arrays, no big values) that
+    raises driver-side if ANY (term, salt) run would exceed
+    ``max_array_len``. The in-plan raise_error guards inside
+    posting_runs/posting_lists can only fire after collect_list has
+    materialized the offending value, which for a genuinely 2 GiB run is
+    too late (executor OOM / BufferHolder overflow) — this check runs
+    BEFORE any array is built. Call it when df_max/salt_buckets may
+    approach the bound; the block-codec path never needs it (its groups
+    are (term, doc-bucket)-sliced and never concatenate)."""
+    s = cfg.salt_buckets
+    over = (
+        postings.withColumn("salt", (F.col("doc_id") % s).cast("int"))
+        .groupBy("term", "salt")
+        .agg(F.count("*").alias("sub_df"))
+        .where(F.col("sub_df") > max_array_len)
+        .select("term", "sub_df")
+        .orderBy(F.desc("sub_df"))
+        .first()
+    )
+    if over is not None:
+        raise RuntimeError(
+            f"posting run for term '{over.term}' would hold {over.sub_df} "
+            f"entries > max_array_len={max_array_len} with salt_buckets={s}"
+            " — raise EngineConfig.salt_buckets so df_max/salt_buckets "
+            "fits, or consume the block codec (operators/codec_blocks.py)"
+        )
+
+
 def posting_lists(
     postings: DataFrame,
     cfg: EngineConfig = EngineConfig(),
@@ -131,7 +169,10 @@ def posting_lists(
     The single-array output is BOUNDED: any term with df > ``max_array_len``
     raises at execution time with a pointer to ``posting_runs`` — a df≈N
     head term concatenated into one array value is a 2 GB-value risk at
-    corpus scale, and failing loudly beats a mid-stage executor OOM.
+    corpus scale, and failing loudly beats a mid-stage executor OOM. The
+    in-plan guard fires once the aggregation output row exists; for runs
+    so large that the aggregation buffer itself would overflow, run the
+    eager ``check_run_bounds`` pre-flight first (count-only, cheap).
     """
     entry = F.struct(F.col("doc_id"), F.col("tf"))
     guard_msg = F.concat(

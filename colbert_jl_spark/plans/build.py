@@ -91,6 +91,21 @@ def _mark_stage(index_path: str, stage: str, meta: dict | None = None) -> None:
     os.replace(tmp, _stage_file(index_path))
 
 
+def write_plan(index_path: str, plan: dict) -> None:
+    """Atomic plan.json commit (tmp write + rename). Every plan rewrite —
+    build stages, compactions, the positions stage — goes through here: a
+    concurrent IndexReader.refresh() re-reads plan.json on every search,
+    and an in-place truncate-and-write would expose half-written JSON.
+    The rename also gives the file a fresh inode, which is what refresh()
+    keys its change detection on (mtime alone can collide within one
+    filesystem timestamp granule)."""
+    p = os.path.join(index_path, "plan.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(plan, f, indent=2, sort_keys=True)
+    os.replace(tmp, p)
+
+
 def _atomic_write(df: DataFrame, final_dir: str, partition_by: str | None = None) -> None:
     """Write parquet to <dir>.tmp then rename — the poor man's snapshot
     commit (Iceberg gives this transactionally; plain parquet needs the
@@ -216,8 +231,7 @@ class IndexBuilder:
                 "config": json.loads(self.cfg.to_json()),
                 "format_version": 1,
             }
-            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
-                json.dump(plan, f, indent=2, sort_keys=True)
+            write_plan(self.index_path, plan)
             _mark_stage(self.index_path, "plan", {"n_docs": row["n"]})
         plan = self.plan()
 
@@ -239,8 +253,7 @@ class IndexBuilder:
                 or min(4096, max(4, n_postings // 2_000_000))
             )
             plan["total_postings"] = int(n_postings)
-            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
-                json.dump(plan, f, indent=2, sort_keys=True)
+            write_plan(self.index_path, plan)
             # (term, df, cf) only — NO idf (see module docstring: idf is a
             # function of the moving N; computing it at read keeps
             # untouched partitions byte-stable under incremental merges)
@@ -280,8 +293,7 @@ class IndexBuilder:
             # the inflated setting into the caller's session
             try:
                 plan["term_partitions"] = term_partitions
-                with open(os.path.join(self.index_path, "plan.json"), "w") as f:
-                    json.dump(plan, f, indent=2, sort_keys=True)
+                write_plan(self.index_path, plan)
                 encode = (
                     posting_blocks_columnar
                     if self.cfg.block_format == "columnar"
@@ -336,8 +348,7 @@ class IndexBuilder:
             plan["n_buckets"] = spark.read.parquet(
                 os.path.join(self.index_path, "lineage")
             ).count()
-            with open(os.path.join(self.index_path, "plan.json"), "w") as f:
-                json.dump(plan, f, indent=2, sort_keys=True)
+            write_plan(self.index_path, plan)
             _mark_stage(self.index_path, "lineage")
 
         return plan
@@ -375,8 +386,7 @@ class IndexBuilder:
             pl, os.path.join(self.index_path, "positions"), "term_bucket"
         )
         plan["positions"] = True
-        with open(os.path.join(self.index_path, "plan.json"), "w") as f:
-            json.dump(plan, f, indent=2, sort_keys=True)
+        write_plan(self.index_path, plan)
         _mark_stage(self.index_path, "positions")
 
 
@@ -414,9 +424,19 @@ class IndexReader:
             }
         )
 
+    def _plan_stamp(self) -> tuple:
+        """Change stamp for plan.json: (inode, mtime_ns, size). Every plan
+        commit goes through write_plan's tmp+rename, so the inode changes
+        on each rewrite — mtime alone can collide when two commits land
+        within one filesystem timestamp granule (coarse-granularity NFS/
+        HFS+ mounts), which would leave a reader permanently serving new
+        blocks under an old plan."""
+        st = os.stat(os.path.join(self.index_path, "plan.json"))
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
+
     def _load_plan(self) -> None:
         p = os.path.join(self.index_path, "plan.json")
-        self._plan_mtime = os.path.getmtime(p)
+        self._plan_stamp_seen = self._plan_stamp()
         with open(p) as f:
             self.plan = json.load(f)
         # driver-side (term → (df, idf)) cache: filled lazily by
@@ -434,7 +454,8 @@ class IndexReader:
         delta blocks under the OLD plan — no idf overlay, an understated
         bound_scale (over-pruning can silently drop correct top-k rows),
         and a stale n_buckets can emit per-bucket duplicate ranks on the
-        fused path. A plan.json mtime change reloads the plan, drops every
+        fused path. A plan.json change (detected by the (inode, mtime_ns,
+        size) stamp — see _plan_stamp) reloads the plan, drops every
         plan-derived cache (_n_buckets, the term-stats cache) and re-pins
         the hot block cache.
 
@@ -444,8 +465,7 @@ class IndexReader:
         The window is one plan-file write wide; on Iceberg the block append
         and metadata commit are one transaction and the window vanishes.
         Single-writer compaction is assumed throughout."""
-        p = os.path.join(self.index_path, "plan.json")
-        if os.path.getmtime(p) == self._plan_mtime:
+        if self._plan_stamp() == self._plan_stamp_seen:
             return self
         self._load_plan()
         if hasattr(self, "_n_buckets"):
@@ -796,9 +816,17 @@ class IndexReader:
 
     @property
     def blocks(self) -> DataFrame:
+        """Resolved via plan.json's ``blocks_dir`` (default "blocks"):
+        minor compaction commits a versioned ``blocks.v{k}`` dir and
+        repoints the plan — refresh() picks the new version up on the
+        next search."""
         if hasattr(self, "_hot_blocks"):
             return self._hot_blocks
-        return self.spark.read.parquet(os.path.join(self.index_path, "blocks"))
+        return self.spark.read.parquet(
+            os.path.join(
+                self.index_path, self.plan.get("blocks_dir", "blocks")
+            )
+        )
 
     def validate(self) -> dict:
         """Cross-stage invariants — the _check_all_files_are_saved analogue

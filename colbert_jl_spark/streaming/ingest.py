@@ -168,7 +168,7 @@ def _rebuild_positions_from_raw(
     if not _positions_raw_complete(index_path, batch_ids):
         return plan
     from colbert_jl_spark.operators.codec_blocks import with_term_partition
-    from colbert_jl_spark.plans.build import _atomic_write, _mark_stage
+    from colbert_jl_spark.plans.build import _atomic_write, _mark_stage, write_plan
 
     raw = spark.read.parquet(
         *[
@@ -181,8 +181,7 @@ def _rebuild_positions_from_raw(
     )
     _atomic_write(pl, os.path.join(index_path, "positions"), "term_bucket")
     plan["positions"] = True
-    with open(os.path.join(index_path, "plan.json"), "w") as f:
-        json.dump(plan, f, indent=2, sort_keys=True)
+    write_plan(index_path, plan)
     _mark_stage(index_path, "positions")
     return plan
 
@@ -244,6 +243,7 @@ def compact_streamed_index(
         IndexBuilder,
         _load_stages,
         _mark_stage,
+        write_plan,
     )
 
     ingest = spark.read.parquet(os.path.join(index_path, "ingest_log"))
@@ -276,9 +276,10 @@ def compact_streamed_index(
         for s in ("plan", "dictionary", "blocks", "lineage", "positions"):
             stages.pop(s, None)
             shutil.rmtree(os.path.join(index_path, s), ignore_errors=True)
-        # stale versioned dictionary dirs from prior incremental epochs
+        # stale versioned dictionary/blocks dirs from prior incremental or
+        # minor-compaction epochs
         for entry in os.listdir(index_path):
-            if entry.startswith("dictionary.v"):
+            if entry.startswith("dictionary.v") or entry.startswith("blocks.v"):
                 shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
         with open(stage_file, "w") as f:
             json.dump(stages, f)
@@ -325,6 +326,15 @@ def compact_streamed_index(
             "docs_added": 0,
         }
         return plan
+    # the INDEX's persisted config governs the incremental encode — a
+    # caller-supplied cfg with a different block_format would append
+    # delta blocks the reader decodes with the wrong codec
+    cfg = EngineConfig(
+        **{
+            k: (tuple(v) if k == "stopwords" else v)
+            for k, v in plan["config"].items()
+        }
+    )
 
     # write-ahead marker: cleared only by the final state commit below
     _save_compact_state(
@@ -452,8 +462,10 @@ def compact_streamed_index(
             delta_blocks, plan["term_partitions"]
         ).cache()
         postings_read = int(new_postings.count())
+        # in-place APPEND into the current (possibly versioned) blocks
+        # dir is reader-safe: only new files appear, nothing is removed
         delta_blocks.write.mode("append").partitionBy("term_bucket").parquet(
-            os.path.join(index_path, "blocks")
+            os.path.join(index_path, plan.get("blocks_dir", "blocks"))
         )
 
         # delta lineage rows (same shape as the batch stage, one generation
@@ -511,8 +523,7 @@ def compact_streamed_index(
         )
     else:
         _invalidate_positions(index_path, plan)
-    with open(plan_path, "w") as f:
-        json.dump(plan, f, indent=2, sort_keys=True)
+    write_plan(index_path, plan)
     _save_compact_state(
         index_path,
         {"last_batch_id": max(batch_rows), "min_enc_avgdl": min_enc,
@@ -530,7 +541,6 @@ def compact_streamed_index(
 def minor_compact(
     spark: SparkSession,
     index_path: str,
-    cfg: EngineConfig = EngineConfig(),
 ) -> dict:
     """Restore per-(term, bucket) block-segment DISJOINTNESS after
     interleaved incremental epochs — O(touched), not the major
@@ -551,14 +561,22 @@ def minor_compact(
          (codec_blocks.blocks_to_postings), re-encodes them with the
          plan's frozen bucket_size into disjoint blocks with CURRENT
          df/idf/avgdl statistics, and
-      3. rewrites ONLY the term_bucket partition dirs containing an
-         overlapping group (tmp write → per-dir swap); every other
-         partition dir is byte-untouched.
+      3. commits a VERSIONED ``blocks.v{k}`` dir: rewritten term_bucket
+         partitions from the new encode, every other partition hardlinked
+         byte-identical from the current version; plan.json repoints
+         ``blocks_dir`` and the previous version stays on disk for
+         in-flight readers (the same reader-safe protocol as the
+         incremental dictionary merge — an in-place per-dir swap would
+         hand a concurrent query a FileNotFoundError window).
 
-    Crash safety rides the same write-ahead ``in_progress`` marker as the
-    incremental path (recovery = major compaction). plan.json is
-    rewritten (minor_compactions counter) so live IndexReaders refresh
-    their snapshot. Returns {mode, groups, rewritten_term_buckets}."""
+    The codec configuration comes from the INDEX's plan.json (like
+    IndexReader), never from a caller argument — decoding packed or
+    columnar blocks with the wrong format would corrupt them. A crashed
+    prior compaction (``in_progress`` marker set) must be recovered by
+    compact_streamed_index first: re-blocking half-written deltas would
+    launder duplicated postings into clean-looking segments.
+
+    Returns {mode, groups, rewritten_term_buckets}."""
     from pyspark.sql import Window
 
     from colbert_jl_spark.operators.codec_blocks import (
@@ -568,6 +586,7 @@ def minor_compact(
         posting_blocks_columnar,
         with_term_partition,
     )
+    from colbert_jl_spark.plans.build import write_plan
 
     state = _load_compact_state(index_path)
     if state is None:
@@ -575,10 +594,24 @@ def minor_compact(
             "minor_compact applies to streamed indexes (no _COMPACT.json "
             "here); batch-built indexes are disjoint by construction"
         )
+    if state.get("in_progress"):
+        raise RuntimeError(
+            "a previous compaction died mid-write (in_progress marker set) "
+            "— run compact_streamed_index first (it recovers via a major "
+            "compaction); minor_compact over partial deltas would re-block "
+            "duplicated postings into clean-looking segments"
+        )
     plan_path = os.path.join(index_path, "plan.json")
     with open(plan_path) as f:
         plan = json.load(f)
-    blocks_dir = os.path.join(index_path, "blocks")
+    cfg = EngineConfig(
+        **{
+            k: (tuple(v) if k == "stopwords" else v)
+            for k, v in plan["config"].items()
+        }
+    )
+    cur_name = plan.get("blocks_dir", "blocks")
+    blocks_dir = os.path.join(index_path, cur_name)
     blocks = spark.read.parquet(blocks_dir)
 
     # 1. overlap detection on metadata only
@@ -640,31 +673,55 @@ def minor_compact(
         fresh = with_term_partition(fresh, plan["term_partitions"])
         out = keep.unionByName(fresh.select(*keep.columns))
 
-        # 3. rewrite only the touched partition dirs
-        tmp = blocks_dir + ".minor_tmp"
+        # 3. assemble the new VERSIONED blocks dir (reader-safe: nothing
+        # in the current version is touched until the plan repoint below)
         import shutil
 
+        versions = [
+            int(e.split(".v", 1)[1])
+            for e in os.listdir(index_path)
+            if e.startswith("blocks.v") and not e.endswith(".tmp")
+        ]
+        new_name = f"blocks.v{max(versions, default=1) + 1}"
+        new_dir = os.path.join(index_path, new_name)
+        tmp = new_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         out.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
-        _save_compact_state(
-            index_path, {**state, "in_progress": {"minor": tbs}}
-        )
-        for tb in tbs:
-            entry = f"term_bucket={tb}"
-            dst = os.path.join(blocks_dir, entry)
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(os.path.join(tmp, entry), dst)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        tbs_set = set(tbs)
+        for entry in os.listdir(blocks_dir):
+            if (
+                entry.startswith("term_bucket=")
+                and int(entry.split("=", 1)[1]) not in tbs_set
+            ):
+                shutil.copytree(
+                    os.path.join(blocks_dir, entry),
+                    os.path.join(new_dir, entry),
+                    copy_function=os.link,
+                )
+        for entry in os.listdir(tmp):
+            if entry.startswith("term_bucket="):
+                os.replace(os.path.join(tmp, entry), os.path.join(new_dir, entry))
         shutil.rmtree(tmp, ignore_errors=True)
     finally:
         overlapping.unpersist()
 
-    # bump plan.json so live readers refresh their blocks snapshot; record
-    # the pass for observability
+    # commit = plan repoint (+ minor_compactions counter so the pass is
+    # observable); live readers refresh onto the new version, the previous
+    # one stays for in-flight queries, and older versions are GC'd
+    plan["blocks_dir"] = new_name
     inc = plan.setdefault("incremental", {"epochs": 1, "min_enc_avgdl": plan["avgdl"]})
     inc["minor_compactions"] = int(inc.get("minor_compactions", 0)) + 1
-    with open(plan_path, "w") as f:
-        json.dump(plan, f, indent=2, sort_keys=True)
-    _save_compact_state(index_path, state)  # clears in_progress
+    write_plan(index_path, plan)
+    keep = {new_name, cur_name}
+    for entry in os.listdir(index_path):
+        if (
+            (entry == "blocks" or entry.startswith("blocks.v"))
+            and entry not in keep
+            and not entry.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
     return {
         "mode": "minor",
         "groups": int(n_groups),

@@ -115,6 +115,22 @@ def test_mrr_is_graded_not_binary(spark):
     assert abs(r5["mrr"] - 1.0 / 3) < 1e-12
 
 
+def test_sampler_skips_unanswerable_docs(spark):
+    """r4 review: empty / all-stopword docs can never yield an answerable
+    query — the sampler must draw from docs WITH indexable terms so the
+    requested denominator holds even on corpora the engine already
+    tracks n_empty_docs for."""
+    rows = [(i, "alpha beta gamma delta") for i in range(20)]
+    rows += [(100, ""), (101, "the a of and"), (102, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = sample_eval_queries(docs, CFG, n_queries=10, terms_per_query=2)
+    assert len(qs) == 10
+    labels = relevance_labels(
+        docs, spark.createDataFrame(qs, "qid long, query string"), CFG
+    )
+    assert labels.select("qid").distinct().count() == 10  # all answerable
+
+
 def test_scaled_query_set_floor(spark, docs01, tmp_path):
     """VERDICT r3 item 6: the quality harness over a GENERATED labeled set
     of ≥50 queries. Every sampled query is answerable by construction (its

@@ -85,6 +85,15 @@ def test_posting_array_bound_and_runs_output(skewed):
         posting_runs(p, cfg, max_array_len=10).collect()
     assert "salt_buckets" in str(exc.value)
 
+    # r4 review: the in-plan guards evaluate on the aggregation OUTPUT —
+    # the eager count-only pre-flight is what catches a run too big to
+    # materialize at all, BEFORE any array is built
+    from colbert_jl_spark.operators.postings import check_run_bounds
+
+    with pytest.raises(RuntimeError, match="omni.*salt_buckets"):
+        check_run_bounds(p, cfg, max_array_len=10)
+    check_run_bounds(p, cfg, max_array_len=100)  # within bounds: no raise
+
 
 def test_exact_grouping_small_fixture(spark):
     """Analogue of the reference _build_ivf case: exact grouped, sorted

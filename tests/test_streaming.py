@@ -333,8 +333,11 @@ def test_minor_compaction_restores_segment_disjointness(spark, docs01, tmp_path)
     overlapping (term, bucket) segment groups, restore the disjointness
     invariant the lazy WAND cursor path requires (the cursor merges
     eagerly iff ranges overlap — disjointness IS the lazy-path assertion),
-    leave every other term_bucket dir byte-untouched, and preserve rank
+    carry every other term_bucket partition into the new blocks version
+    as hardlinks (inode-identical ⇒ byte-identical), and preserve rank
     identity vs the from-scratch oracle."""
+    import json as _json
+
     cfg = EngineConfig(block_size=32, min_bucket_docs=64)
     pages_dir = str(tmp_path / "pages_in")
     idx = str(tmp_path / "stream_idx")
@@ -348,9 +351,13 @@ def test_minor_compaction_restores_segment_disjointness(spark, docs01, tmp_path)
         stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
         compact_streamed_index(spark, idx, cfg)
 
+    def blocks_dir():
+        plan = _json.load(open(os.path.join(idx, "plan.json")))
+        return os.path.join(idx, plan.get("blocks_dir", "blocks"))
+
     def segment_ranges():
         return (
-            spark.read.parquet(os.path.join(idx, "blocks"))
+            spark.read.parquet(blocks_dir())
             .select("term", "bucket", "term_bucket", "first_docid", "last_docid")
             .toPandas()
         )
@@ -372,20 +379,24 @@ def test_minor_compaction_restores_segment_disjointness(spark, docs01, tmp_path)
 
     def bucket_sigs():
         out = {}
-        root = os.path.join(idx, "blocks")
+        root = blocks_dir()
         for entry in os.listdir(root):
             if entry.startswith("term_bucket="):
                 d = os.path.join(root, entry)
                 out[int(entry.split("=", 1)[1])] = {
-                    f: (os.path.getmtime(os.path.join(d, f)),
+                    f: (os.stat(os.path.join(d, f)).st_ino,
                         os.path.getsize(os.path.join(d, f)))
                     for f in os.listdir(d) if f.startswith("part-")
                 }
         return out
 
     sig_before = bucket_sigs()
-    rep = minor_compact(spark, idx, cfg)
+    dir_before = blocks_dir()
+    rep = minor_compact(spark, idx)
     assert rep["mode"] == "minor"
+    # committed as a NEW version + plan repoint; previous version retained
+    assert blocks_dir() != dir_before
+    assert os.path.isdir(dir_before)
     assert rep["groups"] == len(bad)
     expect_tbs = set(
         before.set_index(["term", "bucket"])
@@ -397,7 +408,7 @@ def test_minor_compaction_restores_segment_disjointness(spark, docs01, tmp_path)
     after = segment_ranges()
     assert not overlapping_groups(after)
     # postings conserved (pure re-blocking, nothing lost or duplicated)
-    bl = spark.read.parquet(os.path.join(idx, "blocks"))
+    bl = spark.read.parquet(blocks_dir())
     assert (
         bl.agg(F.sum("n_docs")).first()[0]
         == spark.read.parquet(os.path.join(idx, "postings")).count()
@@ -422,7 +433,7 @@ def test_minor_compaction_restores_segment_disjointness(spark, docs01, tmp_path)
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
     # idempotent: a second pass finds nothing to do
-    assert minor_compact(spark, idx, cfg)["mode"] == "noop"
+    assert minor_compact(spark, idx)["mode"] == "noop"
 
     # and further incremental epochs still work after a minor pass
     assert compact_streamed_index(spark, idx, cfg)["compaction"]["mode"] == "noop"
