@@ -261,6 +261,17 @@ def _measure_serving(spark, index_dir: str) -> dict:
     hot = reps(lambda: reader.search([(0, QUERY_SET[0][1])]).collect(), n=7)
     out["hot_p50_reps"] = [round(t, 4) for t in sorted(hot)]
     out["hot_p50_latency_sec"] = round(sorted(hot)[len(hot) // 2], 4)
+
+    # phrase serving from the persisted positional index (r4 headline):
+    # term-pruned positional scan, no corpus re-tokenize in the DAG
+    if reader.plan.get("positions"):
+        phrases = [(0, "data table"), (1, "table join")]
+        reader.phrase(phrases).collect()  # warm
+        ph = reps(lambda: reader.phrase(phrases).collect(), n=7)
+        out["hot_phrase_p50_reps"] = [round(t, 4) for t in sorted(ph)]
+        out["hot_phrase_p50_latency_sec"] = round(
+            sorted(ph)[len(ph) // 2], 4
+        )
     # driver-side latency mode (1-stage DAG): the DAG-floor experiment
     hot_local = reps(
         lambda: reader.search_local([(0, QUERY_SET[0][1])]).collect(), n=7
@@ -305,6 +316,7 @@ _COMPACT_KEYS = (
     "qps_batched", "qps_sequential",
     "p50_latency_sec", "p99_latency_sec",
     "hot_p50_latency_sec", "hot_local_p50_latency_sec",
+    "hot_phrase_p50_latency_sec",
     "hits_at_5", "quality_scaled", "scaling_error",
 )
 
@@ -364,6 +376,9 @@ def main() -> None:
             IndexBuilder(idx, cfg).build(docs, force=True)
             build_times.append(time.perf_counter() - t0)
         build_sec = min(build_times)
+        # positional stage (outside the timed headline: it is optional)
+        # so the serving section can measure phrase-query latency
+        IndexBuilder(idx, cfg).build_positions(docs)
         log(f"build: {n_docs} docs in {build_sec:.2f}s ({n_docs/build_sec:.0f} docs/s)")
         spark.stop()
 
@@ -446,6 +461,7 @@ def main() -> None:
                         "sequential_latencies",
                         "hot_p50_latency_sec", "hot_p50_reps",
                         "hot_local_p50_latency_sec", "hot_local_p50_reps",
+                        "hot_phrase_p50_latency_sec", "hot_phrase_p50_reps",
                         "hits_at_5", "quality_scaled", "serve_attempts",
                     )
                     if k in serve
