@@ -272,6 +272,12 @@ def _measure_serving(spark, index_dir: str) -> dict:
         out["hot_phrase_p50_latency_sec"] = round(
             sorted(ph)[len(ph) // 2], 4
         )
+        reader.phrase_local(phrases).collect()  # warm the driver-side path
+        phl = reps(lambda: reader.phrase_local(phrases).collect(), n=7)
+        out["hot_phrase_local_p50_reps"] = [round(t, 4) for t in sorted(phl)]
+        out["hot_phrase_local_p50_latency_sec"] = round(
+            sorted(phl)[len(phl) // 2], 4
+        )
     # driver-side latency mode (1-stage DAG): the DAG-floor experiment
     hot_local = reps(
         lambda: reader.search_local([(0, QUERY_SET[0][1])]).collect(), n=7
@@ -316,7 +322,7 @@ _COMPACT_KEYS = (
     "qps_batched", "qps_sequential",
     "p50_latency_sec", "p99_latency_sec",
     "hot_p50_latency_sec", "hot_local_p50_latency_sec",
-    "hot_phrase_p50_latency_sec",
+    "hot_phrase_p50_latency_sec", "hot_phrase_local_p50_latency_sec",
     "hits_at_5", "quality_scaled", "scaling_error",
 )
 
@@ -462,6 +468,8 @@ def main() -> None:
                         "hot_p50_latency_sec", "hot_p50_reps",
                         "hot_local_p50_latency_sec", "hot_local_p50_reps",
                         "hot_phrase_p50_latency_sec", "hot_phrase_p50_reps",
+                        "hot_phrase_local_p50_latency_sec",
+                        "hot_phrase_local_p50_reps",
                         "hits_at_5", "quality_scaled", "serve_attempts",
                     )
                     if k in serve

@@ -475,6 +475,29 @@ class IndexReader:
             self.load_hot()
         return self
 
+    def _ensure_term_stats(self, terms) -> None:
+        """Fill the driver-side (term → (df, idf)) cache for any of
+        ``terms`` not yet seen — ONE term_bucket-pruned dictionary scan
+        for the cache misses, zero actions when everything is cached.
+        Missing terms (zero df / not in the vocabulary) cache as (0, 0.0).
+        The cache is dropped whenever refresh() sees a new plan."""
+        from colbert_jl_spark.functions.hashing import spark_pmod_hash
+
+        need = [t for t in terms if t not in self._term_stats]
+        if not need:
+            return
+        tp = self.plan.get("term_partitions")
+        dic = self.dictionary.where(F.col("term").isin(need))
+        if tp and "term_bucket" in dic.columns:
+            nb = sorted({spark_pmod_hash(t, tp) for t in need})
+            dic = dic.where(F.col("term_bucket").isin(nb))
+        found = {
+            r.term: (int(r.df), float(r.idf))
+            for r in dic.select("term", "df", "idf").collect()
+        }
+        for t in need:
+            self._term_stats[t] = found.get(t, (0, 0.0))
+
     def release(self) -> "IndexReader":
         """Drop the hot block cache (the load_hot pin). Call when retiring
         a still-hot reader whose SparkSession lives on: the session cache
@@ -689,18 +712,7 @@ class IndexReader:
         # driver-side (df, idf) for the query terms — cache-missed terms
         # fetched in one pruned scan (see docstring); feeds BOTH the size
         # guard and the incremental-index idf freshness overlay
-        need = [t for t in terms if t not in self._term_stats]
-        if need:
-            dic = self.dictionary.where(F.col("term").isin(need))
-            if tp and "term_bucket" in dic.columns:
-                nb = sorted({spark_pmod_hash(t, tp) for t in need})
-                dic = dic.where(F.col("term_bucket").isin(nb))
-            found = {
-                r.term: (int(r.df), float(r.idf))
-                for r in dic.select("term", "df", "idf").collect()
-            }
-            for t in need:
-                self._term_stats[t] = found.get(t, (0, 0.0))
+        self._ensure_term_stats(terms)
         if (
             sum(self._term_stats[t][0] for t in terms)
             > self.max_local_postings
@@ -802,6 +814,91 @@ class IndexReader:
                 buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
                 pos = pos.where(F.col("term_bucket").isin(buckets))
         return phrase_matches_from_positions(pos, phrases, self.spark)
+
+    def phrase_local(self, phrases: list[tuple[int, str]]) -> DataFrame:
+        """Latency-mode phrase matching — the phrase analogue of
+        search_local: ONE data-path action (the term/bucket-pruned
+        positional fetch collected to the driver), then the identical
+        start-offset matching runs in pandas. Output-identical to
+        phrase() (gated in tests/test_phrase.py).
+
+        Size guard: the dictionary df of the phrase's INDEXABLE terms
+        estimates the collect volume exactly like search_local. Stopword
+        terms are absent from the dictionary (they are stoplisted out of
+        postings) yet present in the POSITIONS table with corpus-scale
+        frequency — a phrase containing one would collect an unbounded
+        slice the guard cannot see, so any stopword-bearing (or
+        unestimable) phrase transparently routes to the distributed
+        phrase()."""
+        import pandas as pd
+
+        from colbert_jl_spark.functions.hashing import spark_pmod_hash
+        from colbert_jl_spark.functions.tokenizer import py_tokens
+
+        self.refresh()
+        if not self.plan.get("positions"):
+            raise RuntimeError(
+                "this index has no positions stage — run "
+                "IndexBuilder.build_positions(docs) once, or use the "
+                "inline operators/phrase.phrase_matches(docs, phrases)"
+            )
+        terms = sorted(
+            {t for _, text in phrases for t in py_tokens(text, None)}
+        )
+        out_schema = "pid long, doc_id long, n_occurrences long"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        if any(t in self.cfg.stopwords for t in terms):
+            return self.phrase(phrases)
+        self._ensure_term_stats(terms)
+        if (
+            sum(self._term_stats[t][0] for t in terms)
+            > self.max_local_postings
+        ):
+            return self.phrase(phrases)
+
+        pos = self.spark.read.parquet(
+            os.path.join(self.index_path, "positions")
+        ).where(F.col("term").isin(terms))
+        tp = self.plan.get("term_partitions")
+        if tp:
+            buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
+            pos = pos.where(F.col("term_bucket").isin(buckets))
+        ppdf = pos.select("term", "doc_id", "positions").toPandas()  # THE action
+
+        pt = pd.DataFrame(
+            [
+                (int(pid), t, off, len(toks))
+                for pid, text in phrases
+                for toks in [py_tokens(text, None)]
+                for off, t in enumerate(toks)
+            ],
+            columns=["pid", "term", "off", "plen"],
+        )
+        if not len(ppdf) or not len(pt):
+            return self.spark.createDataFrame([], out_schema)
+        ex = ppdf.explode("positions").rename(columns={"positions": "pos"})
+        m = ex.merge(pt, on="term")
+        m["start"] = m["pos"].astype("int64") - m["off"]
+        m = m[m["start"] >= 0]
+        if not len(m):
+            return self.spark.createDataFrame([], out_schema)
+        g = (
+            m.groupby(["pid", "plen", "doc_id", "start"])
+            .size()
+            .reset_index(name="m")
+        )
+        g = g[g["m"] == g["plen"]]
+        out = (
+            g.groupby(["pid", "doc_id"]).size().reset_index(name="n_occurrences")
+        )
+        return self.spark.createDataFrame(
+            [
+                (int(r.pid), int(r.doc_id), int(r.n_occurrences))
+                for r in out.itertuples()
+            ],
+            out_schema,
+        )
 
     def load_hot(self) -> "IndexReader":
         """Serving mode: pin the block table in executor memory so repeated

@@ -48,7 +48,8 @@ def main() -> int:
     q = spark.createDataFrame(list(enumerate(args.query)), schema)
     reader = IndexReader(spark, args.index)
     if args.mode == "phrase":
-        out = reader.phrase(list(enumerate(args.query)))
+        run_p = reader.phrase_local if args.local_merge else reader.phrase
+        out = run_p(list(enumerate(args.query)))
         for row in out.orderBy("pid", "doc_id").collect():
             print(json.dumps(
                 {"pid": row.pid, "doc_id": row.doc_id,

@@ -113,3 +113,24 @@ def test_persisted_phrase_index_matches_inline_and_prunes(
     IndexBuilder(idx2, cfg).build(docs01)
     with pytest.raises(RuntimeError, match="positions stage"):
         IndexReader(spark, idx2).phrase(phrases)
+
+    # driver-side latency mode: output-identical to the distributed path
+    got_local = _as_dict(reader.phrase_local(phrases))
+    assert got_local == want
+
+    # stopword-bearing phrases route to the distributed executor (their
+    # positions volume is invisible to the dictionary-df size guard), as
+    # do head phrases over the size threshold — outputs stay identical
+    routed = []
+    orig = reader.phrase
+    reader.phrase = lambda *a, **kw: (routed.append(1), orig(*a, **kw))[1]
+    sw = [(0, "the data")]
+    got_sw = _as_dict(reader.phrase_local(sw))
+    assert routed, "stopword phrase must fall back"
+    assert got_sw == _as_dict(orig(sw))
+    routed.clear()
+    reader.max_local_postings = 1
+    assert _as_dict(reader.phrase_local([(0, "fast table")])) == {
+        k: v for k, v in want.items() if k[0] == 0
+    }
+    assert routed, "over-threshold phrase must fall back"
