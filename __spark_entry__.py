@@ -405,24 +405,25 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-3 inline shape that re-tokenized the corpus per call
     (operators/phrase.py; plan-gated in tests/test_phrase.py).
 
-    The index lives at a DETERMINISTIC temp path keyed on (sf_dir, engine
-    version, config) and builds with force=False, so repeated driver
-    invocations resume/skip completed stages instead of paying a fresh
-    corpus build each call and leaking a new mkdtemp dir per run; the dir
-    is removed at interpreter exit."""
+    The index lives at a temp path keyed on (sf_dir, config, PID) and
+    builds with force=False, so repeated driver invocations IN THIS
+    PROCESS resume/skip completed stages instead of paying a fresh corpus
+    build each call; the pid component keeps concurrent processes (and
+    any stale dir a killed run left behind, or regenerated testdata at
+    the same path) from sharing state, and the dir is removed at
+    interpreter exit."""
     import atexit
     import hashlib
     import shutil
     import tempfile
 
-    import colbert_jl_spark
     from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
 
     docs = _docs(spark, sf_dir)
-    tag = hashlib.sha256(
-        f"{sf_dir}|{colbert_jl_spark.__version__}|{CFG.to_json()}".encode()
-    ).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"colbert_phrase_idx_{tag}")
+    tag = hashlib.sha256(f"{sf_dir}|{CFG.to_json()}".encode()).hexdigest()[:12]
+    idx = os.path.join(
+        tempfile.gettempdir(), f"colbert_phrase_idx_{tag}_{os.getpid()}"
+    )
     builder = IndexBuilder(idx, CFG)
     builder.build(docs)
     builder.build_positions(docs)

@@ -97,6 +97,16 @@ class EngineConfig:
 
     @classmethod
     def from_json(cls, payload: str) -> "EngineConfig":
-        raw = json.loads(payload)
+        return cls.from_plan_config(json.loads(payload))
+
+    @classmethod
+    def from_plan_config(cls, raw: dict) -> "EngineConfig":
+        """Reconstruct from a plan.json ``config`` dict — THE way every
+        consumer (IndexReader, compactors) must derive an index's codec
+        configuration: JSON round-trips tuples as lists, and decoding
+        blocks under a caller-supplied default config instead of the
+        index's own is the silent-corruption class the compactors guard
+        against."""
+        raw = dict(raw)
         raw["stopwords"] = tuple(raw.get("stopwords", STOPWORDS))
         return cls(**raw)

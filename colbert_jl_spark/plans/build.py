@@ -370,9 +370,12 @@ class IndexBuilder:
         Run AFTER build() (needs plan.json's term_partitions); skipped if
         already marked, resumable like every stage. plan.json records
         {"positions": true} so readers can gate without a filesystem
-        probe. Not maintained by streaming compaction — rebuild after
-        ingest epochs, or phrase() raises a clear error if the stage is
-        missing."""
+        probe. Streamed indexes: ingest with ``positions=True``
+        (streaming/ingest.stream_pages_to_postings) and the compactors
+        MAINTAIN this stage (full rebuilds it from the per-batch raw
+        captures, incremental appends the delta); an ingest WITHOUT the
+        capture invalidates it on compaction so phrase() raises a clear
+        error instead of silently missing new documents."""
         from colbert_jl_spark.operators.codec_blocks import with_term_partition
         from colbert_jl_spark.operators.phrase import token_position_lists
 
@@ -417,12 +420,7 @@ class IndexReader:
         self.spark = spark
         self.index_path = index_path
         self._load_plan()
-        self.cfg = cfg or EngineConfig(
-            **{
-                k: (tuple(v) if k == "stopwords" else v)
-                for k, v in self.plan["config"].items()
-            }
-        )
+        self.cfg = cfg or EngineConfig.from_plan_config(self.plan["config"])
 
     def _plan_stamp(self) -> tuple:
         """Change stamp for plan.json: (inode, mtime_ns, size). Every plan
@@ -848,7 +846,13 @@ class IndexReader:
         out_schema = "pid long, doc_id long, n_occurrences long"
         if not terms:
             return self.spark.createDataFrame([], out_schema)
-        if any(t in self.cfg.stopwords for t in terms):
+        # the INDEX's persisted stoplist, not self.cfg (the constructor
+        # allows a caller-supplied cfg whose stoplist may differ — a term
+        # stoplisted AT INDEX TIME has df=0 in the dictionary yet
+        # corpus-scale volume in the positions table, which would blind
+        # the Σdf guard below)
+        idx_stopwords = set(self.plan["config"].get("stopwords", ()))
+        if any(t in idx_stopwords for t in terms):
             return self.phrase(phrases)
         self._ensure_term_stats(terms)
         if (

@@ -329,12 +329,7 @@ def compact_streamed_index(
     # the INDEX's persisted config governs the incremental encode — a
     # caller-supplied cfg with a different block_format would append
     # delta blocks the reader decodes with the wrong codec
-    cfg = EngineConfig(
-        **{
-            k: (tuple(v) if k == "stopwords" else v)
-            for k, v in plan["config"].items()
-        }
-    )
+    cfg = EngineConfig.from_plan_config(plan["config"])
 
     # write-ahead marker: cleared only by the final state commit below
     _save_compact_state(
@@ -604,12 +599,7 @@ def minor_compact(
     plan_path = os.path.join(index_path, "plan.json")
     with open(plan_path) as f:
         plan = json.load(f)
-    cfg = EngineConfig(
-        **{
-            k: (tuple(v) if k == "stopwords" else v)
-            for k, v in plan["config"].items()
-        }
-    )
+    cfg = EngineConfig.from_plan_config(plan["config"])
     cur_name = plan.get("blocks_dir", "blocks")
     blocks_dir = os.path.join(index_path, cur_name)
     blocks = spark.read.parquet(blocks_dir)
