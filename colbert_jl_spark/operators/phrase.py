@@ -99,20 +99,58 @@ def _match_starts(pos: DataFrame, pt: DataFrame) -> DataFrame:
     broadcast phrase side → (pid, doc_id, n_occurrences). A candidate
     start is pos - off; a start holding ALL plen (term, off) slots is a
     full occurrence. Phrases with repeated terms are exact: every (term,
-    off) pair must land on the same start via a DISTINCT position."""
-    starts = pos.join(F.broadcast(pt), "term").select(
-        "pid", "plen", "doc_id", (F.col("pos") - F.col("off")).alias("start")
+    off) pair must land on the same start via a DISTINCT position.
+
+    ONE shuffle: candidate starts group straight by (pid, plen, doc_id)
+    and the per-start multiplicity test runs as a run-length aggregate
+    over the SORTED start array (a start can hold at most one row per
+    offset, so multiplicity ≤ plen and "count runs of length plen"
+    is exactly "count full occurrences") — a Catalyst higher-order
+    function, no second exchange. The earlier two-aggregation form
+    (per-start count, then per-doc count) shuffled the same candidate
+    rows twice."""
+    starts = (
+        pos.join(F.broadcast(pt), "term")
+        .select(
+            "pid",
+            "plen",
+            "doc_id",
+            (F.col("pos") - F.col("off")).cast("long").alias("start"),
+        )
+        .where(F.col("start") >= 0)
     )
-    # one row per matched (position, offset) pair; a full occurrence
-    # contributes exactly plen rows to its (pid, doc_id, start) group
-    occurrences = (
-        starts.where(F.col("start") >= 0)
-        .groupBy("pid", "plen", "doc_id", "start")
-        .agg(F.count("*").alias("m"))
-        .where(F.col("m") == F.col("plen"))
+    agged = starts.groupBy("pid", "plen", "doc_id").agg(
+        F.sort_array(F.collect_list("start")).alias("starts")
     )
-    return occurrences.groupBy("pid", "doc_id").agg(
-        F.count("*").alias("n_occurrences")
+    plen = F.col("plen").cast("long")
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(-1).cast("long").alias("prev"),  # starts are >= 0: -1 = none
+        zero.alias("run"),
+        zero.alias("cnt"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        closing = (acc["prev"] >= 0) & ~same & (acc["run"] == plen)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (acc["cnt"] + F.when(closing, F.lit(1)).otherwise(F.lit(0))).alias("cnt"),
+        )
+
+    n_occ = F.aggregate(
+        F.col("starts"),
+        acc0,
+        step,
+        lambda acc: acc["cnt"]
+        + F.when(acc["run"] == plen, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        agged.select(
+            "pid", "doc_id", n_occ.cast("long").alias("n_occurrences")
+        )
+        .where(F.col("n_occurrences") > 0)
     )
 
 

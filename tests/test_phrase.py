@@ -63,6 +63,19 @@ def test_phrase_side_broadcasts(spark, docs001):
     assert "BroadcastHashJoin" in plan
 
 
+def test_phrase_matching_is_single_shuffle(spark, docs001):
+    """The matching core groups candidates ONCE (run-length aggregate over
+    sorted starts replaces the per-start count + per-doc count pair) — at
+    corpus scale the second exchange of the same candidate rows was pure
+    waste. Exactly one hash-partitioned Exchange in the DAG (the
+    broadcast exchange of the phrase side doesn't count)."""
+    spark.catalog.clearCache()
+    plan = phrase_matches(
+        docs001, [(0, "data table"), (1, "big big data")],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_persisted_phrase_index_matches_inline_and_prunes(
     spark, docs01, tmp_path
 ):
