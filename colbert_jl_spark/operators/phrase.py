@@ -94,7 +94,7 @@ def phrase_terms(
     )
 
 
-def _match_starts(pos: DataFrame, pt: DataFrame) -> DataFrame:
+def _match_starts(pos: DataFrame, pt: DataFrame, anchor=None) -> DataFrame:
     """The shared matching core: positional stream (doc_id, pos, term) ×
     broadcast phrase side → (pid, doc_id, n_occurrences). A candidate
     start is pos - off; a start holding ALL plen (term, off) slots is a
@@ -108,7 +108,18 @@ def _match_starts(pos: DataFrame, pt: DataFrame) -> DataFrame:
     is exactly "count full occurrences") — a Catalyst higher-order
     function, no second exchange. The earlier two-aggregation form
     (per-start count, then per-doc count) shuffled the same candidate
-    rows twice."""
+    rows twice.
+
+    ``anchor`` = (anchor_docs (pid, doc_id), anchored_pids, all_anchored)
+    — rarest-term-first pruning (VERDICT r4 item 3, built by
+    IndexReader._phrase_anchor): candidate starts are broadcast-SEMI-
+    joined on (pid, doc_id) against each phrase's rarest term's doc set
+    MAP-SIDE, before the one hash Exchange, so a head term contributes
+    to the shuffle only inside docs that contain the phrase's rare term.
+    Occurrence semantics are untouched: every full occurrence has all
+    phrase terms (the anchor included) in the doc, so docs outside the
+    anchor's set can never produce a match. Pids without an anchor
+    (single-term / all-stopword phrases) bypass the semi-join."""
     starts = (
         pos.join(F.broadcast(pt), "term")
         .select(
@@ -119,6 +130,19 @@ def _match_starts(pos: DataFrame, pt: DataFrame) -> DataFrame:
         )
         .where(F.col("start") >= 0)
     )
+    if anchor is not None:
+        anchor_docs, anchored_pids, all_anchored = anchor
+        pruned = lambda df: df.join(  # noqa: E731
+            F.broadcast(anchor_docs), ["pid", "doc_id"], "leftsemi"
+        )
+        if all_anchored:
+            starts = pruned(starts)
+        else:
+            starts = pruned(
+                starts.where(F.col("pid").isin(anchored_pids))
+            ).unionByName(
+                starts.where(~F.col("pid").isin(anchored_pids))
+            )
     agged = starts.groupBy("pid", "plen", "doc_id").agg(
         F.sort_array(F.collect_list("start")).alias("starts")
     )
@@ -155,12 +179,16 @@ def _match_starts(pos: DataFrame, pt: DataFrame) -> DataFrame:
 
 
 def phrase_matches_from_positions(
-    positions: DataFrame, phrases: list[tuple[int, str]], spark: SparkSession
+    positions: DataFrame,
+    phrases: list[tuple[int, str]],
+    spark: SparkSession,
+    anchor=None,
 ) -> DataFrame:
     """(pid, doc_id, n_occurrences) over a token_position_lists-format
     frame (already pruned to the phrase terms by the caller — the reader
-    pushes term/term_bucket filters into the scan). Identical output to
-    phrase_matches; gated in tests/test_phrase.py."""
+    pushes term/term_bucket filters into the scan; ``anchor`` optionally
+    carries the rarest-term doc sets, see _match_starts). Identical
+    output to phrase_matches; gated in tests/test_phrase.py."""
     if not any(py_tokens(text, None) for _, text in phrases):
         return spark.createDataFrame(
             [], "pid long, doc_id long, n_occurrences long"
@@ -169,7 +197,7 @@ def phrase_matches_from_positions(
     pos = positions.select(
         "doc_id", "term", F.explode("positions").alias("pos")
     )
-    return _match_starts(pos, pt)
+    return _match_starts(pos, pt, anchor=anchor)
 
 
 def phrase_matches(

@@ -399,7 +399,17 @@ class IndexReader:
     (reference src/loaders.jl:91-113; flagged at SURVEY.md §3.3 as the
     central scalability limit), only plan.json is driver-side; dictionary,
     docstats and blocks stay distributed parquet scans with pushed-down
-    term filters."""
+    term filters.
+
+    Version-retention contract (ADVICE r4): compactions commit dictionary/
+    blocks/positions as VERSIONED dirs and keep exactly {current,
+    previous} — a reader is safe across ONE compaction it slept through
+    (refresh() re-resolves on the next call), and a reader that pauses
+    between refresh() and the scan while TWO compactions land gets one
+    transparent refresh-and-retry (_stage_df) before the error surfaces.
+    Queries already returned as lazy DataFrames can still fail at action
+    time if their version is GC'd mid-flight — re-issue the query through
+    the reader (on Iceberg, snapshot isolation removes this window)."""
 
     # above this many distinct terms in one search() call, the per-term
     # In(term, …) scan filter is skipped (the broadcast join prunes
@@ -511,6 +521,21 @@ class IndexReader:
             hot.unpersist()
         return self
 
+    def _stage_df(self, plan_key: str, default: str) -> DataFrame:
+        """Scan a versioned stage dir resolved through the plan snapshot,
+        with ONE refresh-and-retry if the dir vanished underneath us:
+        version GC keeps {current, previous}, so a reader that pauses
+        between refresh() and the scan while two compactions land can
+        hold a deleted path (ADVICE r4) — the retry re-resolves through
+        the NEW plan; a second failure is a real error."""
+        path = os.path.join(self.index_path, self.plan.get(plan_key, default))
+        if not os.path.isdir(path):
+            self.refresh()
+            path = os.path.join(
+                self.index_path, self.plan.get(plan_key, default)
+            )
+        return self.spark.read.parquet(path)
+
     @property
     def dictionary(self) -> DataFrame:
         """(term, df, cf[, term_bucket], idf). r4-format dictionaries store
@@ -520,11 +545,7 @@ class IndexReader:
         untouched dictionary partitions byte-identical across incremental
         compactions. Pre-r4 dictionaries carry a stored idf column and are
         read as-is."""
-        d = self.spark.read.parquet(
-            os.path.join(
-                self.index_path, self.plan.get("dictionary_dir", "dictionary")
-            )
-        )
+        d = self._stage_df("dictionary_dir", "dictionary")
         if "idf" not in d.columns:
             from colbert_jl_spark.operators.bm25 import idf_col
 
@@ -779,13 +800,20 @@ class IndexReader:
         """(pid, doc_id, n_occurrences) — exact consecutive-token phrase
         matching served from the PERSISTED positions stage (VERDICT r3
         item 1): the phrase's terms prune the positional scan by term
-        IN-list and term_bucket directory (both computed driver-side, no
-        pre-query Spark job — the same nprobe shape as search()), so a
-        phrase query reads its terms' slice of the corpus instead of
-        re-tokenizing it (operators/phrase.phrase_matches, the inline
-        shape, remains for ad-hoc frames). Output-identical to the inline
-        operator; gated in tests/test_phrase.py with a plan assertion
-        that the query DAG scans the positions table, not the corpus."""
+        IN-list and term_bucket directory (both computed driver-side —
+        the same nprobe shape as search()), so a phrase query reads its
+        terms' slice of the corpus instead of re-tokenizing it
+        (operators/phrase.phrase_matches, the inline shape, remains for
+        ad-hoc frames). Each phrase is additionally pruned RAREST-TERM-
+        FIRST (VERDICT r4 item 3, _phrase_anchor): candidate starts are
+        semi-joined against the lowest-df term's doc set before the one
+        shuffle, so a head term's positions move only inside docs that
+        can match. The anchor's df comes from the same driver-side
+        term-stats cache as search_local's guard — cache-missed terms
+        cost ONE pruned dictionary lookup, then repeat phrases run a
+        single query DAG. Output-identical to the inline operator; gated
+        in tests/test_phrase.py with plan assertions (positions table
+        scanned, never the corpus; one hash Exchange)."""
         from colbert_jl_spark.functions.hashing import spark_pmod_hash
         from colbert_jl_spark.functions.tokenizer import py_tokens
         from colbert_jl_spark.operators.phrase import (
@@ -802,16 +830,69 @@ class IndexReader:
         terms = sorted(
             {t for _, text in phrases for t in py_tokens(text, None)}
         )
-        pos = self.spark.read.parquet(
-            os.path.join(self.index_path, "positions")
-        )
+        pos = self._stage_df("positions_dir", "positions")
         if terms:
             pos = pos.where(F.col("term").isin(terms))
             tp = self.plan.get("term_partitions")
             if tp:
                 buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
                 pos = pos.where(F.col("term_bucket").isin(buckets))
-        return phrase_matches_from_positions(pos, phrases, self.spark)
+        anchor = self._phrase_anchor(phrases, pos)
+        return phrase_matches_from_positions(
+            pos, phrases, self.spark, anchor=anchor
+        )
+
+    # per-phrase ceiling on the anchor term's df for rarest-term-first
+    # pruning: the anchor doc set rides a broadcast, so it must stay
+    # executor-memory-small. 1M (pid, doc_id) rows ≈ 16 MB — comfortably
+    # broadcastable; a phrase whose RAREST term exceeds this is all head
+    # terms, where doc-set pruning buys little anyway (ratio bounded by
+    # min_df/max_df) and the candidate-bounded shuffle is the honest cost.
+    max_anchor_df: int = 1_000_000
+
+    def _phrase_anchor(self, phrases, pos):
+        """Rarest-term-first phrase pruning (VERDICT r4 item 3): pick each
+        phrase's lowest-df INDEXABLE term as its anchor (df is driver-side
+        via the same dictionary lookup that feeds search_local's guard —
+        stopwords are excluded because they are absent from the dictionary
+        yet corpus-scale in the positions table, so their df=0 would
+        masquerade as "rarest"), and build the per-pid anchor doc sets
+        from the already-pruned positional scan. The matching core then
+        broadcast-semi-joins candidate starts on (pid, doc_id) BEFORE the
+        one hash Exchange — "state of the art" shuffles the positions of
+        "of"/"the" only for docs containing "art", bounding the shuffle by
+        the rare term's postings instead of the corpus (the same
+        rarest-first trick WAND's pruning embodies).
+
+        An anchor with df=0 (a non-stopword term absent from the corpus)
+        yields an EMPTY doc set — the semi-join then correctly kills the
+        unmatchable phrase before it moves any data. Returns
+        (anchor_docs, anchored_pids, all_anchored) or None when no phrase
+        is anchorable (single-term or all-stopword phrases)."""
+        from colbert_jl_spark.functions.tokenizer import py_tokens
+
+        idx_stopwords = set(self.plan["config"].get("stopwords", ()))
+        anchors: list[tuple[int, str]] = []
+        pids = set()
+        for pid, text in phrases:
+            toks = py_tokens(text, None)
+            pids.add(int(pid))
+            indexable = sorted(set(toks) - idx_stopwords)
+            if not indexable or len(set(toks)) < 2:
+                continue  # nothing to prune by / pruning is a no-op
+            self._ensure_term_stats(indexable)
+            dfs = {t: self._term_stats[t][0] for t in indexable}
+            anchor_term = min(indexable, key=lambda t: (dfs[t], t))
+            if dfs[anchor_term] <= self.max_anchor_df:
+                anchors.append((int(pid), anchor_term))
+        if not anchors:
+            return None
+        at = self.spark.createDataFrame(anchors, "pid long, term string")
+        # positions hold ONE row per (term, doc_id) and each pid has ONE
+        # anchor term, so this is already distinct — no extra exchange
+        anchor_docs = pos.join(F.broadcast(at), "term").select("pid", "doc_id")
+        anchored_pids = sorted(p for p, _ in anchors)
+        return anchor_docs, anchored_pids, len(anchored_pids) == len(pids)
 
     def phrase_local(self, phrases: list[tuple[int, str]]) -> DataFrame:
         """Latency-mode phrase matching — the phrase analogue of
@@ -861,9 +942,9 @@ class IndexReader:
         ):
             return self.phrase(phrases)
 
-        pos = self.spark.read.parquet(
-            os.path.join(self.index_path, "positions")
-        ).where(F.col("term").isin(terms))
+        pos = self._stage_df("positions_dir", "positions").where(
+            F.col("term").isin(terms)
+        )
         tp = self.plan.get("term_partitions")
         if tp:
             buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
@@ -923,11 +1004,7 @@ class IndexReader:
         next search."""
         if hasattr(self, "_hot_blocks"):
             return self._hot_blocks
-        return self.spark.read.parquet(
-            os.path.join(
-                self.index_path, self.plan.get("blocks_dir", "blocks")
-            )
-        )
+        return self._stage_df("blocks_dir", "blocks")
 
     def validate(self) -> dict:
         """Cross-stage invariants — the _check_all_files_are_saved analogue

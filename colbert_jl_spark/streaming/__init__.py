@@ -1,4 +1,5 @@
 from colbert_jl_spark.streaming.ingest import (
+    compact_positions,
     compact_streamed_index,
     minor_compact,
     stream_pages_to_postings,
@@ -6,6 +7,7 @@ from colbert_jl_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "compact_positions",
     "compact_streamed_index",
     "minor_compact",
     "stream_pages_to_postings",

@@ -147,3 +147,85 @@ def test_persisted_phrase_index_matches_inline_and_prunes(
         k: v for k, v in want.items() if k[0] == 0
     }
     assert routed, "over-threshold phrase must fall back"
+
+
+def test_phrase_anchor_prunes_by_rarest_term(spark, tmp_path):
+    """VERDICT r4 item 3: a phrase containing a head term must not move
+    the head term's corpus-scale positions through the candidate shuffle
+    — the matching core semi-joins candidate starts against the RAREST
+    indexable term's doc set (broadcast, map-side) first. Zipfian
+    fixture: "common" is in every doc, "zebra" in 3 — the row-count gate
+    asserts the head term's surviving candidate rows are bounded by the
+    rare term's df, and the output stays identical to the unpruned
+    executor (including unanchorable phrases riding the same call)."""
+    import os
+
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+
+    rows = [(i, f"common filler{i} w{i % 7}", "en") for i in range(200)]
+    rows += [(200 + j, "common zebra here", "en") for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = EngineConfig(block_size=32)
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(idx, cfg)
+    builder.build(docs)
+    builder.build_positions(docs)
+    reader = IndexReader(spark, idx)
+
+    phrases = [
+        (0, "common zebra"),     # anchored by "zebra" (df=3)
+        (1, "the common"),       # stopword + head term: anchored by "common"
+        (2, "zebra zebra"),      # single distinct term: unanchorable
+        (3, "common qqqabsent"), # df=0 anchor → provably unmatchable
+    ]
+    # anchor construction: rarest-first, df straight from the dictionary
+    pos = reader._stage_df("positions_dir", "positions")
+    anchor = reader._phrase_anchor(phrases, pos)
+    assert anchor is not None
+    anchor_docs, anchored_pids, all_anchored = anchor
+    assert anchored_pids == [0, 1, 3] and not all_anchored
+    per_pid = {
+        p: n for p, n in anchor_docs.groupBy("pid").count().collect()
+    }
+    assert per_pid[0] == 3            # zebra's doc set, not common's
+    assert per_pid[1] == 203          # "the" never anchors (stoplisted)
+    assert 3 not in per_pid           # df=0 anchor: empty doc set
+
+    # row-count gate: the head term's candidate rows surviving pid 0's
+    # semi-join are bounded by the RARE term's df (3 docs × 1 occurrence)
+    head = pos.where(F.col("term") == "common").select(
+        "doc_id", F.explode("positions").alias("pos")
+    )
+    assert head.count() == 203
+    survivors = head.join(
+        anchor_docs.where(F.col("pid") == 0).select("doc_id"),
+        "doc_id",
+        "leftsemi",
+    ).count()
+    assert survivors == 3
+
+    # output identity: pruned serving == inline oracle == unpruned core
+    got = _as_dict(reader.phrase(phrases))
+    want = _as_dict(phrase_matches(docs, phrases, cfg))
+    assert got == want == {(0, 200): 1, (0, 201): 1, (0, 202): 1}
+    from colbert_jl_spark.operators.phrase import (
+        phrase_matches_from_positions,
+    )
+
+    terms = sorted({t for _, tx in phrases for t in tx.split()})
+    unpruned = _as_dict(
+        phrase_matches_from_positions(
+            pos.where(F.col("term").isin(terms)), phrases, spark, anchor=None
+        )
+    )
+    assert unpruned == want
+
+    # plan shape: the anchored DAG still has exactly ONE hash Exchange
+    # (the anchor doc set rides a broadcast, not a shuffle)
+    spark.catalog.clearCache()
+    plan = (
+        reader.phrase([(0, "common zebra")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

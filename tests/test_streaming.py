@@ -4,6 +4,7 @@ watermarked windowed aggregation over events."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pandas as pd
@@ -660,3 +661,234 @@ def test_windowed_event_counts(spark, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)[want.columns]
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_incremental_collision_probe_is_delta_scoped(spark, tmp_path):
+    """VERDICT r4 item 2: an incremental epoch must never run a
+    vocab-scale aggregate — the tid collision probe and the encoder's
+    dictionary join see only the DELTA vocabulary, read through a
+    bucket-pruned scan of the merged dictionary. Big-vocab fixture
+    (per-doc unique terms, the web tail shape): the report's probe_terms
+    must equal the delta's vocabulary, not the corpus's, and the
+    _delta_dictionary view's physical plan must carry the term_bucket
+    partition filter."""
+    from colbert_jl_spark.functions.tokenizer import py_terms
+    from colbert_jl_spark.streaming.ingest import _delta_dictionary
+
+    cfg = EngineConfig(block_size=32, min_bucket_docs=64, term_partitions=64)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    w1 = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(8)), "en") for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    w2 = spark.createDataFrame(
+        [(1000 + i, f"t{1000+i}w0 shared0 shared1", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    pages_from_documents(w1).write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    compact_streamed_index(spark, idx, cfg)
+
+    pages_from_documents(w2).write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    r2 = compact_streamed_index(spark, idx, cfg)
+    rep = r2["compaction"]
+    assert rep["mode"] == "incremental"
+
+    delta_vocab = set()
+    for r in w2.select("text").collect():
+        delta_vocab.update(py_terms(r.text, cfg.doc_maxlen, cfg.stopwords))
+    full_vocab = 300 * 8 + len(delta_vocab)  # ≥2400 distinct corpus terms
+    assert rep["probe_terms"] == len(delta_vocab) == 7
+    assert rep["probe_terms"] < full_vocab / 100
+    assert 0 < rep["probe_buckets"] <= len(delta_vocab) < 64
+    assert rep["dictionary_merge"]["mode"] == "bucket-local"
+
+    # the delta view's scan is PARTITION-pruned, not just row-filtered
+    reader = IndexReader(spark, idx)
+    view = _delta_dictionary(
+        reader.dictionary,
+        spark.createDataFrame([("shared0",)], "term string"),
+        {3, 7},
+    )
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("PartitionFilters", 1)
+    assert len(scan) == 2 and "term_bucket" in scan[1][:300], plan
+
+    # and the merged index still answers exactly
+    assert reader.validate()["ok"]
+    hits = reader.search([(0, "shared0 shared1")]).collect()
+    assert {r.doc_id for r in hits} == {1000 + i for i in range(5)}
+
+
+def test_head_heavy_delta_falls_back_to_full_merge(spark, docs001, tmp_path):
+    """VERDICT r4 item 5: when a delta's vocabulary touches most
+    term_bucket partitions (coupon collector — the 29-term fixture vocab
+    over 8 buckets), the bucket-local hardlink assembly does strictly
+    more work than a plain full merge — the merge must fall back to the
+    direct full rewrite, still committed as a reader-safe versioned dir,
+    with the chosen mode + threshold recorded in the compaction report."""
+    cfg = EngineConfig(block_size=32, term_partitions=8)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_from_documents(docs001)
+    w1 = pages.where(F.crc32(F.col("url")) % 4 != 0)
+    w2 = pages.where(F.crc32(F.col("url")) % 4 == 0)
+
+    w1.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    compact_streamed_index(spark, idx, cfg)
+
+    w2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg)
+    r2 = compact_streamed_index(spark, idx, cfg)
+    merge = r2["compaction"]["dictionary_merge"]
+    assert merge["mode"] == "full-rewrite"
+    assert merge["affected_buckets"] > merge["head_heavy_threshold"] * 8
+    assert r2["dictionary_dir"] == "dictionary.v2"
+    assert os.path.isdir(os.path.join(idx, "dictionary.v2"))
+
+    # rank identity vs the from-scratch oracle survives the fallback path
+    reader = IndexReader(spark, idx)
+    assert reader.validate()["ok"]
+    got = (
+        reader.search(queries_df(spark))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        bm25_topk(docs001, queries_df(spark), cfg)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_positions_compaction_bounds_files_and_preserves_phrase(
+    spark, docs001, tmp_path
+):
+    """VERDICT r4 item 4: per-epoch positional appends accumulate small
+    files per term_bucket with no rewrite path — compact_positions must
+    bound the file count (rewriting ONLY crowded buckets, hardlinking the
+    rest), commit a versioned dir + plan repoint, keep phrase output
+    identical across the swap (stale reader included), and later
+    incremental epochs must append into the NEW versioned dir."""
+    from colbert_jl_spark.operators.phrase import phrase_matches
+    from colbert_jl_spark.plans.build import IndexReader
+    from colbert_jl_spark.sources.pages import docs_from_pages
+    from colbert_jl_spark.streaming.ingest import compact_positions
+
+    cfg = EngineConfig(block_size=32)
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    phrases = [(0, "data table"), (1, "the data")]
+
+    pages = pages_from_documents(docs001)
+    waves = [pages.where(F.crc32(F.col("url")) % 4 == i) for i in range(4)]
+    for w in waves[:3]:
+        w.write.mode("append").parquet(pages_dir)
+        stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg, positions=True)
+        compact_streamed_index(spark, idx, cfg)
+
+    def pos_dir():
+        plan = json.loads(
+            open(os.path.join(idx, "plan.json")).read()
+        )
+        return os.path.join(idx, plan.get("positions_dir", "positions"))
+
+    def file_counts(d):
+        out = {}
+        for entry in os.listdir(d):
+            if entry.startswith("term_bucket="):
+                b = os.path.join(d, entry)
+                out[entry] = sorted(
+                    f for f in os.listdir(b) if f.startswith("part-")
+                )
+        return out
+
+    before_dir = pos_dir()
+    before = file_counts(before_dir)
+    assert max(len(v) for v in before.values()) > 1, "fixture must fragment"
+    stale = IndexReader(spark, idx)
+    truth = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in stale.phrase(phrases).collect()
+    }
+    assert truth
+
+    rep = compact_positions(spark, idx, max_files_per_bucket=1)
+    assert rep["mode"] == "positions" and rep["rewritten_term_buckets"]
+    after_dir = pos_dir()
+    assert after_dir != before_dir and os.path.isdir(before_dir)
+    after = file_counts(after_dir)
+    # bounded: every rewritten bucket holds exactly ONE file now
+    for entry, files in after.items():
+        b = int(entry.split("=", 1)[1])
+        if b in rep["rewritten_term_buckets"]:
+            assert len(files) == 1, (entry, files)
+        else:
+            # untouched buckets rode over as hardlinks (same inodes)
+            old = {
+                f: os.stat(os.path.join(before_dir, entry, f)).st_ino
+                for f in before[entry]
+            }
+            new = {
+                f: os.stat(os.path.join(after_dir, entry, f)).st_ino
+                for f in files
+            }
+            assert old == new, entry
+
+    # phrase identity across the swap, stale reader refreshes onto v2
+    served = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in stale.phrase(phrases).collect()
+    }
+    assert served == truth
+    # idempotent
+    assert compact_positions(spark, idx, max_files_per_bucket=1)["mode"] == "noop"
+
+    # a later epoch appends into the NEW dir and phrase stays exact
+    waves[3].write.mode("append").parquet(pages_dir)
+    stream_pages_to_postings(spark, pages_dir, idx, ckpt, cfg, positions=True)
+    r4 = compact_streamed_index(spark, idx, cfg)
+    assert r4["compaction"]["mode"] == "incremental"
+    assert r4.get("positions") is True
+    full_truth = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in phrase_matches(docs001, phrases, cfg).collect()
+    }
+    got = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in IndexReader(spark, idx).phrase(phrases).collect()
+    }
+    assert got == full_truth
+
+
+def test_invalidate_positions_is_metadata_first(spark, docs001, tmp_path):
+    """ADVICE r4: invalidation must commit the metadata drop (stage
+    marker + plan keys) BEFORE touching the data directory, and move the
+    directory aside via atomic rename instead of rmtree-in-place — a
+    concurrent reader then refuses service with the intended RuntimeError
+    on refresh instead of hitting a raw FileNotFoundError mid-scan."""
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+    from colbert_jl_spark.streaming.ingest import _invalidate_positions
+
+    cfg = EngineConfig(block_size=32)
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(idx, cfg)
+    builder.build(docs001)
+    builder.build_positions(docs001)
+    reader = IndexReader(spark, idx)
+    assert reader.phrase([(0, "data table")]).count() > 0
+
+    _invalidate_positions(idx)
+    plan = json.loads(open(os.path.join(idx, "plan.json")).read())
+    assert "positions" not in plan and "positions_dir" not in plan
+    assert not os.path.exists(os.path.join(idx, "positions"))
+    assert os.path.isdir(os.path.join(idx, "positions.trash.0"))
+    with pytest.raises(RuntimeError, match="positions stage"):
+        reader.phrase([(0, "data table")])
