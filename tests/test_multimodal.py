@@ -67,9 +67,9 @@ def test_sample_frames(media):
 
 
 def test_real_decode_is_explicit_stub():
-    # JPEG stays a documented boundary (no PIL/libjpeg in container)
-    with pytest.raises(NotImplementedError, match="PIL"):
-        _decode_fake_image(b"\xff\xd8\xff\xe0....")
+    # unknown image formats name the supported set and the boundary
+    with pytest.raises(NotImplementedError, match="WebP"):
+        _decode_fake_image(b"RIFX....WEBP....")
     # unsupported PNG variants name the boundary too (16-bit depth)
     from colbert_jl_spark.operators.multimodal import PNG_MAGIC, _png_chunk
     import struct as _struct
@@ -79,6 +79,14 @@ def test_real_decode_is_explicit_stub():
     )
     with pytest.raises(NotImplementedError, match="16"):
         _decode_fake_image(bad)
+    # progressive JPEG (SOF2) is outside the baseline decoder's scope
+    from colbert_jl_spark.operators.jpeg import encode_jpeg
+
+    baseline = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof0 = bytes(baseline).find(b"\xff\xc0")
+    baseline[sof0 + 1] = 0xC2  # rewrite the frame marker to progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _decode_fake_image(bytes(baseline))
 
 
 def test_real_png_roundtrip_and_all_filters():
@@ -222,3 +230,75 @@ def test_fake_image_roundtrip():
     arr = _decode_fake_image(img)
     assert arr.shape == (9, 16)
     assert arr.dtype == np.uint8
+
+
+def test_real_jpeg_roundtrip_all_modes():
+    """REAL baseline JPEG (numpy Huffman + float IDCT, T.81) — VERDICT
+    r4 item 8: a flat image round-trips exactly (DC-only blocks), smooth
+    gray/RGB round-trip within a lossy tolerance at q92, and the 4:2:0
+    and restart-marker paths decode identically to their sources."""
+    from colbert_jl_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg,
+    )
+
+    flat = np.full((24, 24), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 95)) == flat).all()
+
+    g = np.tile(np.arange(64, dtype=np.uint8) * 4, (40, 1))[:, :48]
+    back = decode_jpeg(encode_jpeg(g, 92))
+    assert back.shape == g.shape
+    assert np.abs(back.astype(int) - g.astype(int)).mean() < 1.0
+
+    rng = np.random.default_rng(7)
+    rgb = np.zeros((37, 53, 3), np.uint8)
+    rgb[:, :, 0] = np.linspace(0, 255, 53, dtype=np.uint8)
+    rgb[:, :, 1] = np.linspace(255, 0, 37, dtype=np.uint8)[:, None]
+    rgb[:, :, 2] = (rng.integers(0, 64, size=(37, 53)) + 90).astype(np.uint8)
+    for sub, tol in (("444", 5.0), ("420", 9.0)):
+        for ri in (0, 3):
+            enc = encode_jpeg(rgb, 92, subsampling=sub, restart_interval=ri)
+            dec = decode_jpeg(enc)
+            assert dec.shape == rgb.shape
+            mae = np.abs(dec.astype(int) - rgb.astype(int)).mean()
+            assert mae < tol, (sub, ri, mae)
+    # 4:2:0 actually compresses smaller (the chroma planes shrank 4x)
+    assert len(encode_jpeg(rgb, 92, subsampling="420")) < len(
+        encode_jpeg(rgb, 92, subsampling="444")
+    )
+    # gray projection consistency with the other codecs' convention
+    dec = decode_jpeg(encode_jpeg(rgb, 92))
+    want = (dec.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert (decode_jpeg_gray(encode_jpeg(rgb, 92)) == want).all()
+
+
+def test_real_jpeg_decodes_and_resizes_end_to_end(spark):
+    """JPEG through the SAME magic-dispatched mapInPandas operators as
+    PNG/BMP/WAV/fake payloads — feature extraction (lossy tolerance) and
+    resize (exact vs the decoded payload)."""
+    from colbert_jl_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg
+    from colbert_jl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(23)
+    rgb = np.zeros((12, 9, 3), np.uint8)
+    rgb[:, :, 0] = np.linspace(10, 240, 9, dtype=np.uint8)
+    rgb[:, :, 1] = np.linspace(240, 10, 12, dtype=np.uint8)[:, None]
+    rgb[:, :, 2] = (rng.integers(0, 32, size=(12, 9)) + 100).astype(np.uint8)
+    jpg = encode_jpeg(rgb, 95)
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    gray = decode_jpeg_gray(jpg)  # the dispatched decode's exact output
+    src_gray = (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert np.abs(gray.astype(int) - src_gray.astype(int)).mean() < 3.0
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(jpg), (9, 12, None, None, "image/jpeg"))],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(media).toPandas().iloc[0].features
+    assert abs(feats[0] - gray.astype(np.float64).mean()) < 1e-9
+    small = resize_images(media, out_w=4, out_h=4).toPandas()
+    arr = _decode_fake_image(bytes(small.iloc[0].payload))
+    yi = (np.arange(4) * 12 // 4).astype(int)
+    xi = (np.arange(4) * 9 // 4).astype(int)
+    assert (arr == gray[np.ix_(yi, xi)]).all()
