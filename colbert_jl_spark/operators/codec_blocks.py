@@ -48,7 +48,10 @@ BLOCK_SCHEMA = (
 
 
 def term_postings_with_doclen(
-    docs: DataFrame, cfg: EngineConfig = EngineConfig(), spimi: bool = True
+    docs: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    spimi: bool = True,
+    count_obs=None,
 ) -> DataFrame:
     """(term, doc_id, tf, doclen) — the posting stream.
 
@@ -64,11 +67,21 @@ def term_postings_with_doclen(
 
     ``spimi=False``: the pure-Catalyst explode+groupBy formulation, kept
     as the cross-check oracle for tests (identical output, one shuffle).
+
+    ``count_obs``: an optional ``pyspark.sql.Observation`` — when given,
+    a ``n_docs`` count metric is collected on the tokenized doc stream
+    (INCLUDING all-stopword docs, which never reach the posting output)
+    during whatever action the caller runs, so the build driver gets the
+    corpus size without a separate count job.
     """
     terms = terms_col("text", cfg.doc_maxlen, cfg.stopwords)
     tokenized = docs.select(
         "doc_id", terms.alias("terms")
     ).withColumn("doclen", F.size("terms"))
+    if count_obs is not None:
+        tokenized = tokenized.observe(
+            count_obs, F.count(F.lit(1)).alias("n_docs")
+        )
     if not spimi:
         return (
             tokenized.select("doc_id", "doclen", F.explode("terms").alias("term"))

@@ -163,12 +163,22 @@ class IndexBuilder:
 
         # -- stage: postings (THE tokenize pass — runs once) ----------------
         postings_dir = os.path.join(self.index_path, "postings")
+        n_docs = None
         if "postings" not in _load_stages(self.index_path):
-            pdl = term_postings_with_doclen(docs, self.cfg)
+            from pyspark.sql import Observation
+
+            # corpus size observed on the tokenize pass itself (no
+            # separate count job — see the plan stage for why job count
+            # matters); includes all-stopword docs the postings drop
+            obs_docs = Observation("corpus_docs")
+            pdl = term_postings_with_doclen(docs, self.cfg, count_obs=obs_docs)
             self._write(pdl, postings_dir)
             _mark_stage(self.index_path, "postings")
+            n_docs = int(obs_docs.get["n_docs"])
 
-        return self.finish_from_postings(spark, n_docs_total=docs.count())
+        return self.finish_from_postings(
+            spark, n_docs_total=docs.count() if n_docs is None else n_docs
+        )
 
     def finish_from_postings(
         self,
@@ -205,18 +215,36 @@ class IndexBuilder:
 
         # -- stage: plan + docstats (derived; no re-tokenize) ---------------
         if "plan" not in _load_stages(self.index_path):
+            from pyspark.sql import Observation
+
             # docstats = distinct (doc_id, doclen) from postings. Docs whose
             # every token was stoplisted never reach postings; they are
             # accounted for by n_empty_docs = docs.count() - docstats rows
             # (a metadata-only count), keeping N/avgdl exact WITHOUT an
             # anti-join shuffle over the corpus.
-            seen = postings.select("doc_id", "doclen").distinct()
+            #
+            # Both the posting row count (feeds term_partitions sizing in
+            # the next stage) and the docstats aggregate ride the WRITE
+            # action as Observation metrics — previously one extra count
+            # job + one re-read-and-aggregate job. Three such driver round
+            # trips were removed this round (see also lineage): on a real
+            # cluster every job is a cluster-wide scheduling barrier, and
+            # in the pinned scaling runs the fixed per-job floors land in
+            # both levels' wall time and compress the measured efficiency.
+            obs_post = Observation("postings_total")
+            obs_ds = Observation("docstats_agg")
+            seen = (
+                postings.observe(obs_post, F.count(F.lit(1)).alias("n_postings"))
+                .select("doc_id", "doclen")
+                .distinct()
+                .observe(
+                    obs_ds,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doclen").alias("tot"),
+                )
+            )
             self._write(seen, os.path.join(self.index_path, "docstats"))
-            ds = spark.read.parquet(os.path.join(self.index_path, "docstats"))
-            row = ds.agg(
-                F.count("*").alias("n"),
-                F.sum("doclen").alias("tot"),
-            ).first()
+            row = obs_ds.get
             n_total = n_docs_total
             n_empty = n_total - row["n"]
             plan = {
@@ -224,6 +252,7 @@ class IndexBuilder:
                 "n_empty_docs": n_empty,
                 "avgdl": (row["tot"] or 0) / n_total if n_total else 0.0,
                 "total_tokens": row["tot"] or 0,
+                "total_postings": int(obs_post.get["n_postings"]),
                 "bucket_size": max(
                     self.cfg.min_bucket_docs,
                     -(-n_total // self.cfg.num_index_partitions),
@@ -246,13 +275,17 @@ class IndexBuilder:
             # rewritten with the chosen value — the same rewrite-after-
             # build pattern the reference uses (indexing.jl:125-132).
             # n_postings == postings row count (one row per (term, doc)) —
-            # a metadata-cheap parquet count, no aggregation.
-            n_postings = postings.count()
+            # observed for free during the plan stage's docstats write;
+            # the count() fallback covers indexes resumed from a pre-r5
+            # partial build whose plan lacks the key.
+            n_postings = plan.get("total_postings")
+            if n_postings is None:
+                n_postings = postings.count()
+                plan["total_postings"] = int(n_postings)
             plan["term_partitions"] = int(
                 self.cfg.term_partitions
                 or min(4096, max(4, n_postings // 2_000_000))
             )
-            plan["total_postings"] = int(n_postings)
             write_plan(self.index_path, plan)
             # (term, df, cf) only — NO idf (see module docstring: idf is a
             # function of the moving N; computing it at read keeps
@@ -335,19 +368,21 @@ class IndexBuilder:
                 byte_col = F.length("payload")
             else:  # columnar: logical in-memory bytes (parquet packs further)
                 byte_col = F.col("n_docs") * F.lit(16)
+            from pyspark.sql import Observation
+
+            obs_lin = Observation("lineage_buckets")
             lineage = blocks.groupBy("bucket").agg(
                 F.sum("n_docs").alias("postings_emitted"),
                 F.count("*").alias("blocks_written"),
                 F.sum(byte_col).alias("bytes_compressed"),
                 F.countDistinct("term").alias("terms_seen"),
-            )
+            ).observe(obs_lin, F.count(F.lit(1)).alias("n_buckets"))
             self._write(lineage, os.path.join(self.index_path, "lineage"))
             # record the doc-bucket count in the plan (one lineage row per
             # bucket): IndexReader's fused-path gate reads it as metadata
-            # instead of running a lineage scan on the first query
-            plan["n_buckets"] = spark.read.parquet(
-                os.path.join(self.index_path, "lineage")
-            ).count()
+            # instead of running a lineage scan on the first query. The
+            # count is observed during the write — no read-back job.
+            plan["n_buckets"] = int(obs_lin.get["n_buckets"])
             write_plan(self.index_path, plan)
             _mark_stage(self.index_path, "lineage")
 
