@@ -885,6 +885,18 @@ class IndexReader:
     # min_df/max_df) and the candidate-bounded shuffle is the honest cost.
     max_anchor_df: int = 1_000_000
 
+    # floor below which anchoring is skipped for phrases whose terms are
+    # ALL dictionary-estimable: when Σ df of the phrase terms is this
+    # small, the whole candidate set already fits one shuffle cheaply and
+    # the anchor subtree (a broadcast materialization per query DAG) is
+    # pure latency tax — measured +0.35 s hot-phrase p50 on the bench
+    # fixture. Phrases carrying a stoplisted term always anchor: their
+    # positional volume is invisible to the df estimate (corpus-scale in
+    # the positions table, absent from the dictionary), which is exactly
+    # the head-term case the pruning exists for. df=0 anchors also always
+    # apply — they kill provably unmatchable phrases for free.
+    anchor_min_candidate_postings: int = 200_000
+
     def _phrase_anchor(self, phrases, pos):
         """Rarest-term-first phrase pruning (VERDICT r4 item 3): pick each
         phrase's lowest-df INDEXABLE term as its anchor (df is driver-side
@@ -918,7 +930,13 @@ class IndexReader:
             self._ensure_term_stats(indexable)
             dfs = {t: self._term_stats[t][0] for t in indexable}
             anchor_term = min(indexable, key=lambda t: (dfs[t], t))
-            if dfs[anchor_term] <= self.max_anchor_df:
+            has_stopword = any(t in idx_stopwords for t in toks)
+            worth_it = (
+                dfs[anchor_term] == 0  # provably unmatchable — free kill
+                or has_stopword  # volume invisible to the df estimate
+                or sum(dfs.values()) > self.anchor_min_candidate_postings
+            )
+            if worth_it and dfs[anchor_term] <= self.max_anchor_df:
                 anchors.append((int(pid), anchor_term))
         if not anchors:
             return None

@@ -178,8 +178,16 @@ def test_phrase_anchor_prunes_by_rarest_term(spark, tmp_path):
         (2, "zebra zebra"),      # single distinct term: unanchorable
         (3, "common qqqabsent"), # df=0 anchor → provably unmatchable
     ]
-    # anchor construction: rarest-first, df straight from the dictionary
+    # benefit gate: with the default candidate-volume floor, the small
+    # all-indexable phrase 0 skips the anchor subtree (pure latency tax
+    # at this Σdf); the stopword-bearing phrase 1 and the df=0 phrase 3
+    # anchor regardless (their volume is invisible / the kill is free)
     pos = reader._stage_df("positions_dir", "positions")
+    gated = reader._phrase_anchor(phrases, pos)
+    assert gated is not None and gated[1] == [1, 3]
+
+    # force-anchor everything estimable for the pruning assertions below
+    reader.anchor_min_candidate_postings = 0
     anchor = reader._phrase_anchor(phrases, pos)
     assert anchor is not None
     anchor_docs, anchored_pids, all_anchored = anchor
