@@ -239,6 +239,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, cfg=CFG)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: connected components over the
+    MinHash-LSH pair graph at threshold 0.8 (operators/dedup.
+    dedup_clusters — min-label propagation, all-Catalyst rounds), one
+    row per document, component_id = min doc_id reachable; the keep
+    filter is doc_id == component_id. Oracled by a DuckDB RECURSIVE CTE
+    reachability walk over the same exact-Jaccard edge set."""
+    from colbert_jl_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.8, cfg=CFG)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs (Hamming <= 3). DuckDB lacks xxhash64, so the
     oracle materializes term->hash from the bit-verified Python clone
@@ -754,6 +766,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -787,6 +800,25 @@ def _extra_oracles() -> dict[str, str]:
         # (candidate-bounded engine-side), so the oracle is too.
         "dedup_minhash_lsh": _SHINGLE_CTE_EXACT
         + "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8",
+        # connected components as a RECURSIVE reachability walk: comp(v) =
+        # MIN over all nodes that can reach v through the >=0.8 edge set
+        # (edges are symmetric, so that min IS the component minimum);
+        # UNION (not UNION ALL) dedupes (node, comp) states → terminates
+        "dedup_clusters": _SHINGLE_CTE_EXACT.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.8
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node""",
         "knn_cosine": """
             WITH q AS (
               SELECT vec_id AS qvec_id, CAST(embedding AS DOUBLE[]) AS qemb

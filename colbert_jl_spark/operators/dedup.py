@@ -297,3 +297,103 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component_id) — connected components over an undirected
+    pair graph: component_id = MIN node id reachable from each node.
+    Pair DETECTION (the operators above) is only half of dedup — a
+    training pipeline must resolve transitive near-dup chains (A~B, B~C
+    ⇒ {A,B,C} one cluster) and keep one canonical doc per cluster
+    (doc_id == component_id), or chained paraphrases survive pairwise
+    filtering.
+
+    ``edges`` is (doc_a, doc_b); ``nodes`` is a one-column frame of every
+    node id (isolated nodes come out as their own singleton component).
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels (one join + one
+    map-side-combined min aggregation per round, all Catalyst), until a
+    round changes nothing. The change count rides the round's action as
+    an Observation (no extra job); per-round lineage is truncated with
+    localCheckpoint so the plan doesn't grow with iterations.
+
+    Scale notes: rounds = graph DIAMETER. Near-dup graphs are near-
+    cliques (threshold-similarity is nearly transitive), so real corpora
+    converge in 2-4 rounds; the worst case (a 10⁸-node path graph) would
+    need the alternating large-star/small-star formulation (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond" — public
+    algorithm) whose round count is O(log n). That upgrade swaps only
+    this function's loop body; the driver-side loop here iterates
+    O(diameter) times over DataFrame handles, never over rows."""
+    from pyspark.sql import Observation
+
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    node_col = nodes.columns[0]
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        obs = Observation()
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                "comp",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("new_comp"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_comp") != F.col("comp")).cast("long")
+                ).alias("changed"),
+            )
+        )
+        labels = stepped.select("node", F.col("new_comp").alias("comp")).localCheckpoint()
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — graph diameter exceeds the cap; raise max_iterations "
+            "or use a star-contraction formulation for chain-shaped graphs"
+        )
+    return labels.select(F.col("node"), F.col("comp").alias("component_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    cfg: EngineConfig = EngineConfig(),
+) -> DataFrame:
+    """(doc_id, component_id) for EVERY document: transitive near-dup
+    clusters over the MinHash-LSH pair graph (the at-scale detection
+    path), singletons included as their own component. The canonical
+    survivor of each cluster is doc_id == component_id — `WHERE doc_id =
+    component_id` is the pipeline's keep-filter."""
+    pairs = minhash_lsh_pairs(docs, n, threshold, cfg).select("doc_a", "doc_b")
+    return connected_components(pairs, docs.select("doc_id")).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )

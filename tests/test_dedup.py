@@ -104,3 +104,100 @@ def test_simhash_near_pairs_contains_exact_dup(planted):
     got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
     assert (0, 1) in got
     assert pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].hamming.iloc[0] == 0
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain (transitive closure), clique, singleton, and two separate
+    components — component_id is the min reachable node everywhere, and
+    the operator's plan is joins + aggregates (no cartesian, no Python)."""
+    from colbert_jl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, pair {10,11}, triangle {20,21,22}, singleton 30
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20, 21, 22, 30)], "doc_id long"
+    )
+    got = {
+        r.node: r.component_id
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30,
+    }
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check vs a driver-side union-find oracle on a seeded
+    random graph (200 nodes, 150 edges — many shapes at once)."""
+    import random
+
+    from colbert_jl_spark.operators.dedup import connected_components
+
+    rng = random.Random(5)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical min-id per root
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in range(n)}
+
+    got = {
+        r.node: r.component_id
+        for r in connected_components(
+            spark.createDataFrame(edges, "doc_a long, doc_b long"),
+            spark.createDataFrame([(i,) for i in range(n)], "doc_id long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """dedup_clusters resolves CHAINED near-dups into one cluster even
+    when the endpoints' pairwise similarity is below threshold — the
+    failure mode pairwise-only dedup cannot catch."""
+    from colbert_jl_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    # 30 distinct words; one-word edits per hop → exact trigram Jaccard
+    # 25/31 ≈ 0.806 per hop but 22/34 ≈ 0.647 for the endpoints: at
+    # threshold 0.7 the graph is a CHAIN 0-1-2, never a triangle
+    words = [f"tok{i}x" for i in range(30)]
+    base = " ".join(words)
+    mid = " ".join(w if i != 10 else "edit1z" for i, w in enumerate(words))
+    far = " ".join(
+        "edit1z" if i == 10 else ("edit2z" if i == 20 else w)
+        for i, w in enumerate(words)
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, mid), (2, far), (3, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    assert (0, 1) in pairs and (1, 2) in pairs
+    assert (0, 2) not in pairs, "fixture must chain, not pair, 0 and 2"
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup_clusters(docs, n=3, threshold=0.7).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}
