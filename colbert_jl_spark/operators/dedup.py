@@ -303,6 +303,35 @@ def simhash_near_pairs(
 # Duplicate-cluster resolution (connected components)
 # ---------------------------------------------------------------------------
 
+def _cc_round(sym, labels, obs) -> DataFrame:
+    """One min-label-propagation round: every node takes the min of its
+    own label and its neighbors' labels. 100% Catalyst (plan-gated: no
+    Python eval, no cartesian); the changed-row count rides the round's
+    action as an Observation metric, so convergence detection costs no
+    extra job."""
+    nbr = (
+        sym.join(labels, sym["dst"] == labels["node"])
+        .groupBy("src")
+        .agg(F.min("comp").alias("nbr_comp"))
+    )
+    return (
+        labels.join(nbr, labels["node"] == nbr["src"], "left")
+        .select(
+            "node",
+            "comp",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("new_comp"),
+        )
+        .observe(
+            obs,
+            F.sum(
+                (F.col("new_comp") != F.col("comp")).cast("long")
+            ).alias("changed"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -348,28 +377,8 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("comp")
     ).localCheckpoint()
     for _ in range(max_iterations):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
         obs = Observation()
-        stepped = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .select(
-                "node",
-                "comp",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("new_comp"),
-            )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("new_comp") != F.col("comp")).cast("long")
-                ).alias("changed"),
-            )
-        )
+        stepped = _cc_round(sym, labels, obs)
         labels = stepped.select("node", F.col("new_comp").alias("comp")).localCheckpoint()
         if int(obs.get["changed"] or 0) == 0:
             break
