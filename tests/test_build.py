@@ -279,3 +279,35 @@ def test_validate_detects_missing_stage(spark, docs01, index_dir):
     report = IndexReader(spark, index_dir).validate()
     assert not report["ok"]
     assert report["missing_stages"] == ["lineage"]
+
+
+def test_stage_scan_survives_version_gc_race(spark, docs001, tmp_path):
+    """ADVICE r4: a reader that validated its plan snapshot and then
+    paused while compactions GC'd its stage-dir version must get ONE
+    transparent refresh-and-retry at scan construction instead of a raw
+    missing-path error. Simulated by renaming the blocks dir to a new
+    version + repointing plan.json AFTER the reader's refresh()."""
+    import json as _json
+    import shutil as _shutil
+
+    import pandas as pd
+
+    cfg = EngineConfig(block_size=32)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, cfg).build(docs001)
+    reader = IndexReader(spark, idx)
+    want = reader.search([(0, "spark table join")]).toPandas()
+    reader.refresh()  # snapshot validated here...
+
+    # ...then a compaction commits a new version and GC removes the old
+    _shutil.move(os.path.join(idx, "blocks"), os.path.join(idx, "blocks.v2"))
+    with open(os.path.join(idx, "plan.json")) as f:
+        plan = _json.load(f)
+    plan["blocks_dir"] = "blocks.v2"
+    from colbert_jl_spark.plans.build import write_plan
+
+    write_plan(idx, plan)
+
+    # the stale-plan scan path resolves through _stage_df's retry
+    got = reader.search([(0, "spark table join")]).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_like=True)
