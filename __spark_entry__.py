@@ -239,10 +239,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, cfg=CFG)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-vs-corpus INCREMENTAL dedup (streaming/dedup_state.DedupIndex):
+    the documents table is streamed in two waves (split on doc_id
+    parity); each wave computes MinHash signatures for its own docs only
+    and joins its bands against the persisted, bucket-pruned band table.
+    The final labels must equal a from-scratch dedup_clusters run — so
+    this row shares dedup_clusters' RECURSIVE-CTE reachability oracle.
+    The result is localCheckpoint-pinned so the temp state dir can be
+    removed before the driver collects."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from colbert_jl_spark.streaming.dedup_state import DedupIndex
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dedup_state_")
+    try:
+        idx = DedupIndex(tmp, n=3, threshold=0.8, cfg=CFG)
+        w1 = docs.where(F.col("doc_id") % 2 == 0)
+        w2 = docs.where(F.col("doc_id") % 2 == 1)
+        idx.update(spark, w1, None)
+        idx.update(spark, w2, w1)
+        return idx.labels(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERS: connected components over the
     MinHash-LSH pair graph at threshold 0.8 (operators/dedup.
-    dedup_clusters — min-label propagation, all-Catalyst rounds), one
+    dedup_clusters — alternating large-star/small-star contraction,
+    Kiveris et al. 2014, O(log n) all-Catalyst rounds), one
     row per document, component_id = min doc_id reachable; the keep
     filter is doc_id == component_id. Oracled by a DuckDB RECURSIVE CTE
     reachability walk over the same exact-Jaccard edge set."""
@@ -767,6 +797,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -805,6 +836,23 @@ def _extra_oracles() -> dict[str, str]:
         # (edges are symmetric, so that min IS the component minimum);
         # UNION (not UNION ALL) dedupes (node, comp) states → terminates
         "dedup_clusters": _SHINGLE_CTE_EXACT.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.8
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node""",
+        # the incremental (2-wave DedupIndex) path must land on EXACTLY
+        # the same clusters as from-scratch — same oracle as above
+        "dedup_incremental": _SHINGLE_CTE_EXACT.replace(
             "WITH ", "WITH RECURSIVE ", 1
         )
         + """,

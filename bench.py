@@ -412,9 +412,14 @@ def main() -> None:
         # rule as every other number here (ADVICE r4: the old selector
         # ranked attempts by whether they cleared the acceptance bars,
         # which could mask a systematic regression behind one lucky
-        # attempt). Whether the chosen attempt clears the targets is
-        # reported SEPARATELY in serve_targets, and every attempt's
-        # headline stays recorded in serve_attempts.
+        # attempt). The STOP rule is target-neutral too (r6, extending
+        # ADVICE r5's scaling fix): always take >=2 attempts and stop
+        # when the two best batched times agree within 10% — never
+        # because a bar cleared. Whether the chosen attempt clears the
+        # targets is reported SEPARATELY in serve_targets, and every
+        # attempt's headline AND its full sequential-latency rep set
+        # (the samples p99 is cut from — VERDICT r5 item 4's
+        # drift-vs-noise evidence) stay recorded in serve_attempts.
         attempts = []
         serve = None
         for i in range(1 + int(os.environ.get("BENCH_SERVE_EXTRA", "2"))):
@@ -433,6 +438,7 @@ def main() -> None:
                     "qps_batched": s["qps_batched"],
                     "p99_latency_sec": s["p99_latency_sec"],
                     "hot_p50_latency_sec": s["hot_p50_latency_sec"],
+                    "sequential_latencies": s["sequential_latencies"],
                 }
             )
             if serve is None or s["batched_sec"] < serve["batched_sec"]:
@@ -445,8 +451,11 @@ def main() -> None:
                 f"hot-local p50 {s['hot_local_p50_latency_sec']}s, "
                 f"hits@5 {s['hits_at_5']['hits_rate']}"
             )
-            if s["qps_batched"] >= 8.0 and s["p99_latency_sec"] <= 1.68:
-                break
+            times = sorted(
+                a["batched_sec"] for a in attempts if "batched_sec" in a
+            )
+            if len(times) >= 2 and times[1] / times[0] < 1.10:
+                break  # reproduced within 10% — settled, numbers are real
         if serve is None:
             # last resort: measure serving IN-PROCESS (unpinned — the r2
             # protocol) so the driver contract line never goes missing;
@@ -547,25 +556,26 @@ def main() -> None:
             r_hi = summarize(runs_hi)
             log(f"scaling local[{hi}]: {r_hi}")
 
-            ratio = hi / lo
             # Noise-adaptive retries: a single loaded-host rep pair can
             # understate the true efficiency by >0.05 (reps like
-            # [77, 50, 42] s for the SAME job are observed on this VM).
-            # When the measured efficiency sits below the 0.8 target AND
-            # the rep spread proves the host was noisy, keep adding
-            # interleaved rep pairs (VERDICT r4 item 1: the r4 artifact
-            # stopped at 2 extra pairs while still noisy and recorded
-            # 0.794 against three 0.82-0.88 builder runs of the same
-            # code) until either the target clears or the RECENT spread
-            # drops under 15% — then the number is real, not noise.
-            # Bounded by a wall-clock budget + hard pair cap, every rep
-            # recorded in build_sec_reps.
+            # [77, 50, 42] s for the SAME job are observed on this VM),
+            # so keep adding interleaved rep pairs until the reps have
+            # SETTLED. The stopping rule is TARGET-NEUTRAL (ADVICE r5:
+            # the old loop also broke as soon as the efficiency cleared
+            # 0.8 — a one-sided optional-stopping rule that biased the
+            # recorded number toward just-clearing the bar): the measured
+            # efficiency never feeds the stopping decision. We stop only
+            # when the host is quiet globally (full-rep spread < 1.15) or
+            # — after at least one extra pair — both levels' last-3 reps
+            # reproduce their best within 5%; then the recorded number is
+            # whatever the full rep set yields. Bounded by a wall-clock
+            # budget + hard pair cap, every rep recorded in
+            # build_sec_reps.
             extra_budget = int(os.environ.get("BENCH_SCALE_EXTRA", "8"))
             extra_deadline = time.monotonic() + float(
                 os.environ.get("BENCH_SCALE_EXTRA_SEC", "1800")
             )
             while extra_budget > 0 and time.monotonic() < extra_deadline:
-                eff_now = (r_lo["build_sec"] / r_hi["build_sec"]) / ratio
                 # spread over the latest window (one initial loaded rep
                 # would otherwise keep "noisy" latched forever): have the
                 # last 3 reps of BOTH levels settled near their min?
@@ -580,8 +590,6 @@ def main() -> None:
                     max(r["build_sec"] for r in runs_lo)
                     / min(r["build_sec"] for r in runs_lo),
                 )
-                if eff_now >= 0.8:
-                    break
                 if spread < 1.15 or (
                     len(runs_lo) > reps
                     and settled(runs_lo) < 1.05
@@ -591,7 +599,7 @@ def main() -> None:
                     # pair — both levels' recent reps reproduce their
                     # best) — the efficiency is real
                     break
-                log(f"eff {eff_now:.3f} with noisy reps (spread {spread:.2f}) — extra rep pair")
+                log(f"noisy reps (spread {spread:.2f}) — extra rep pair")
                 runs_lo.append(one_run(lo, "lo", len(runs_lo)))
                 runs_hi.append(one_run(hi, "hi", len(runs_hi)))
                 r_lo, r_hi = summarize(runs_lo), summarize(runs_hi)

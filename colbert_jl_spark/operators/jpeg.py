@@ -430,7 +430,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     bytes — Huffman + dequantize + float IDCT + chroma upsampling +
     JFIF YCbCr→RGB, numpy/stdlib only. Progressive (SOF2), arithmetic,
     12-bit and CMYK streams raise NotImplementedError naming the
-    boundary."""
+    boundary. Truncated or corrupt payloads raise ValueError, never a
+    raw IndexError — this codec is dispatched on arbitrary executor-side
+    media bytes and an IndexError surfaces as an opaque task failure."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated JPEG stream") from exc
+    except (KeyError, OverflowError) as exc:
+        # a bit-flipped table/component id resolves to a missing dict
+        # entry (huff/qtab/plane lookups keyed by ids from the stream);
+        # corrupt DC diffs can accumulate past int64 before any index
+        # goes out of range
+        raise ValueError("corrupt JPEG stream") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qtabs: dict[int, np.ndarray] = {}
@@ -552,6 +567,10 @@ def _decode_scan(data, pos, comps, scan, qtabs, huff, restart, h, w):
                                         continue
                                     break  # EOB
                                 k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "corrupt JPEG entropy stream"
+                                    )
                                 zz[k] = _extend(br.bits(s), s)
                                 k += 1
                             coef = (

@@ -195,20 +195,53 @@ def _invalidate_positions(index_path: str, plan: dict | None = None) -> None:
         plan.pop("positions_dir", None)
         if changed:
             write_plan(index_path, plan)  # readers now refuse loudly
-    _gc_positions_dirs(index_path, keep={committed})
+    # GC order (ADVICE r5): delete only trash from EARLIER invalidations
+    # (a full cycle old — no reader can still hold it via any plan);
+    # every LIVE version dir — the committed current AND the retained
+    # previous version — is renamed aside as positions.trash.N instead
+    # of rmtree'd, so an in-flight scan that resolved either version
+    # through a just-superseded plan keeps reading via its open handles,
+    # honoring the {current, previous} retention contract stated on
+    # IndexReader. The trash is reclaimed by the next invalidation or
+    # major compaction.
+    import shutil
+
+    for entry in os.listdir(index_path):
+        if entry.startswith("positions.trash"):
+            shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
+    trash_n = 0
     cur_dir = os.path.join(index_path, committed)
     if os.path.isdir(cur_dir):
         os.rename(cur_dir, os.path.join(index_path, "positions.trash.0"))
+        trash_n = 1
+    for entry in sorted(os.listdir(index_path)):
+        if entry.endswith(".tmp"):
+            continue
+        if entry == "positions" or entry.startswith("positions.v"):
+            os.rename(
+                os.path.join(index_path, entry),
+                os.path.join(index_path, f"positions.trash.{trash_n}"),
+            )
+            trash_n += 1
 
 
 def _gc_positions_dirs(index_path: str, keep: set) -> None:
-    """Remove positions version/trash dirs not in ``keep`` (by name)."""
+    """Remove positions version/trash dirs not in ``keep`` (by name).
+
+    The bare pre-versioning ``positions`` dir counts as a version too
+    (ADVICE r5): once ``compact_positions`` repoints plan.json to
+    ``positions.v2`` the original bare dir would otherwise never match
+    any GC prefix and leak a permanent full copy of the stage."""
     import shutil
 
     for entry in os.listdir(index_path):
         if entry in keep or entry.endswith(".tmp"):
             continue
-        if entry.startswith("positions.v") or entry.startswith("positions.trash"):
+        if (
+            entry == "positions"
+            or entry.startswith("positions.v")
+            or entry.startswith("positions.trash")
+        ):
             shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
 
 

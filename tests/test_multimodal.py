@@ -273,6 +273,34 @@ def test_real_jpeg_roundtrip_all_modes():
     assert (decode_jpeg_gray(encode_jpeg(rgb, 92)) == want).all()
 
 
+def test_jpeg_corrupt_input_raises_valueerror_never_indexerror():
+    """ADVICE r5: the codec is dispatched on arbitrary executor-side
+    media bytes, so truncated or bit-flipped payloads must surface as a
+    clean ValueError (or the documented NotImplementedError for
+    unsupported variants), never a raw IndexError/struct.error opaque
+    task failure — fuzz every truncation point and a byte-flip sweep."""
+    from colbert_jl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 256, size=(24, 32, 3))).astype(np.uint8)
+    enc = encode_jpeg(img, 90, subsampling="420", restart_interval=2)
+    decode_jpeg(enc)  # sanity: the uncorrupted stream decodes
+
+    for cut in range(0, len(enc), max(1, len(enc) // 97)):
+        try:
+            decode_jpeg(enc[:cut])
+        except (ValueError, NotImplementedError):
+            pass  # the only acceptable failure modes
+    for off in range(2, len(enc), max(1, len(enc) // 61)):
+        for flip in (0x01, 0xFF, 0xD8):
+            bad = bytearray(enc)
+            bad[off] ^= flip
+            try:
+                decode_jpeg(bytes(bad))
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_real_jpeg_decodes_and_resizes_end_to_end(spark):
     """JPEG through the SAME magic-dispatched mapInPandas operators as
     PNG/BMP/WAV/fake payloads — feature extraction (lossy tolerance) and

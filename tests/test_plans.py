@@ -275,23 +275,20 @@ def test_incremental_idf_overlay_scan_is_bucket_pruned(spark, docs001, tmp_path)
     assert not unpruned, (unpruned, plan)
 
 
-def test_connected_components_round_is_jvm_joins_only(spark):
-    """The dedup-cluster propagation round must be pure Catalyst joins +
-    aggregates: no Python eval of any kind and no cartesian product —
-    at 10^8 nodes each round is one shuffle-keyed join, never O(N^2)."""
-    from pyspark.sql import Observation
+def test_connected_components_rounds_are_jvm_joins_only(spark):
+    """Both star-contraction rewrites (large-star and small-star —
+    Kiveris et al. 2014) must be pure Catalyst joins + aggregates: no
+    Python eval of any kind and no cartesian product — at 10^8 nodes
+    each round is one shuffle-keyed join, never O(N^2)."""
+    from colbert_jl_spark.operators.dedup import _large_star, _small_star
 
-    from colbert_jl_spark.operators.dedup import _cc_round
-
-    sym = spark.createDataFrame(
-        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    canon = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "hi long, lo long"
     )
-    labels = spark.createDataFrame(
-        [(1, 1), (2, 2), (3, 3)], "node long, comp long"
-    )
-    plan = _plan(_cc_round(sym, labels, Observation()))
-    for bad in (
-        "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
-        "MapInPandas", "CartesianProduct", "BroadcastNestedLoopJoin",
-    ):
-        assert bad not in plan, (bad, plan)
+    for step in (_large_star, _small_star):
+        plan = _plan(step(canon))
+        for bad in (
+            "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+            "MapInPandas", "CartesianProduct", "BroadcastNestedLoopJoin",
+        ):
+            assert bad not in plan, (step.__name__, bad, plan)

@@ -892,3 +892,87 @@ def test_invalidate_positions_is_metadata_first(spark, docs001, tmp_path):
     assert os.path.isdir(os.path.join(idx, "positions.trash.0"))
     with pytest.raises(RuntimeError, match="positions stage"):
         reader.phrase([(0, "data table")])
+
+
+def test_positions_gc_reclaims_bare_dir_after_two_swaps(
+    spark, docs001, tmp_path
+):
+    """ADVICE r5 leak: the pre-versioning bare ``positions`` dir never
+    matched any GC prefix, so once two compactions repointed plan.json to
+    positions.v2 then v3 the original full copy leaked forever. With the
+    fix the bare dir is retained exactly while it is current-or-previous
+    and reclaimed one swap later; phrase output is identical across all
+    three versions."""
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+    from colbert_jl_spark.streaming.ingest import compact_positions
+
+    cfg = EngineConfig(block_size=32)
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(idx, cfg)
+    builder.build(docs001)
+    builder.build_positions(docs001)
+    want = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in IndexReader(spark, idx).phrase([(0, "data table")]).collect()
+    }
+    assert want
+
+    # force a rewrite of every bucket twice (max_files_per_bucket=0)
+    r1 = compact_positions(spark, idx, max_files_per_bucket=0)
+    assert r1["mode"] == "positions"
+    # after swap #1 the bare dir is the PREVIOUS version — retained
+    assert os.path.isdir(os.path.join(idx, "positions"))
+    assert os.path.isdir(os.path.join(idx, "positions.v2"))
+    r2 = compact_positions(spark, idx, max_files_per_bucket=0)
+    assert r2["mode"] == "positions"
+    # after swap #2 it is two versions old — reclaimed, v2+v3 retained
+    assert not os.path.exists(os.path.join(idx, "positions"))
+    assert os.path.isdir(os.path.join(idx, "positions.v2"))
+    assert os.path.isdir(os.path.join(idx, "positions.v3"))
+    got = {
+        (r.pid, r.doc_id): r.n_occurrences
+        for r in IndexReader(spark, idx).phrase([(0, "data table")]).collect()
+    }
+    assert got == want
+
+
+def test_invalidate_positions_moves_previous_version_aside(
+    spark, docs001, tmp_path
+):
+    """ADVICE r5: invalidation used to rmtree the retained PREVIOUS
+    version inline while only renaming the current one — a reader
+    mid-scan on the previous version (resolved through the plan it
+    refreshed a moment ago) got a raw FileNotFoundError, contradicting
+    the {current, previous} retention contract. Now every live version
+    dir is renamed aside as positions.trash.N (atomic, handles survive)
+    and only trash from EARLIER invalidations is deleted."""
+    from colbert_jl_spark.plans.build import IndexBuilder, IndexReader
+    from colbert_jl_spark.streaming.ingest import (
+        _invalidate_positions,
+        compact_positions,
+    )
+
+    cfg = EngineConfig(block_size=32)
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(idx, cfg)
+    builder.build(docs001)
+    builder.build_positions(docs001)
+    assert IndexReader(spark, idx).phrase([(0, "data table")]).count() > 0
+    r1 = compact_positions(spark, idx, max_files_per_bucket=0)
+    assert r1["mode"] == "positions"  # current = positions.v2, prev = bare
+
+    _invalidate_positions(idx)
+    # current renamed to trash.0, previous (bare) to trash.1 — no rmtree
+    t0 = os.path.join(idx, "positions.trash.0")
+    t1 = os.path.join(idx, "positions.trash.1")
+    assert os.path.isdir(t0) and os.path.isdir(t1)
+    for t in (t0, t1):
+        # contents intact: the renamed dirs still hold real parquet data
+        assert any(
+            f.startswith("part-")
+            for b in os.listdir(t)
+            if b.startswith("term_bucket=")
+            for f in os.listdir(os.path.join(t, b))
+        )
+    assert not os.path.exists(os.path.join(idx, "positions"))
+    assert not os.path.exists(os.path.join(idx, "positions.v2"))
