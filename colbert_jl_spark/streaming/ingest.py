@@ -599,8 +599,17 @@ def compact_streamed_index(
         ).cache()
         postings_read = int(new_postings.count())
         # in-place APPEND into the current (possibly versioned) blocks
-        # dir is reader-safe: only new files appear, nothing is removed
-        delta_blocks.write.mode("append").partitionBy("term_bucket").parquet(
+        # dir is reader-safe: only new files appear, nothing is removed.
+        # Repartition ON the partition column first: the encode output's
+        # task layout would otherwise land up to shuffle_partitions files
+        # per term_bucket per epoch (every future scan pays per-file open
+        # cost; validate()'s FILES_PER_BUCKET_CEILING would trip after two
+        # waves). The delta is O(delta)-small so this one extra shuffle is
+        # bounded, and the within-partition sort keeps parquet row-group
+        # min/max stats on `term` tight for the reader's IN-filters.
+        delta_blocks.repartition("term_bucket").sortWithinPartitions(
+            "term", "bucket"
+        ).write.mode("append").partitionBy("term_bucket").parquet(
             os.path.join(index_path, plan.get("blocks_dir", "blocks"))
         )
 
@@ -655,6 +664,8 @@ def compact_streamed_index(
         _wtp(
             delta_pos.select("term", "doc_id", "positions"),
             plan["term_partitions"],
+        ).repartition("term_bucket").sortWithinPartitions(
+            "term", "doc_id"
         ).write.mode("append").partitionBy("term_bucket").parquet(
             os.path.join(index_path, plan.get("positions_dir", "positions"))
         )
@@ -831,7 +842,13 @@ def minor_compact(
         new_dir = os.path.join(index_path, new_name)
         tmp = new_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        out.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+        # repartition ON the partition column: a rewritten bucket lands as
+        # ONE consolidated file (the whole point of compaction), not one
+        # file per upstream task; the sort keeps row-group `term` stats
+        # tight for the reader's IN-filters
+        out.repartition("term_bucket").sortWithinPartitions(
+            "term", "bucket", "first_docid"
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
         shutil.rmtree(new_dir, ignore_errors=True)
         os.makedirs(new_dir)
         tbs_set = set(tbs)
