@@ -10,12 +10,15 @@ container.
 
 Scope (honestly bounded, errors name the boundary):
 
-* decode: baseline sequential (SOF0), 8-bit, 1 or 3 components,
-  sampling factors 1-2 in each axis (4:4:4 / 4:2:2 / 4:2:0), restart
-  markers, Huffman tables from the stream. Progressive (SOF2),
-  arithmetic coding, 12-bit, and CMYK raise NotImplementedError.
-* encode: baseline sequential, grayscale or YCbCr 4:4:4, the Annex K
-  example quantization + Huffman tables with the libjpeg quality
+* decode: baseline sequential (SOF0/1) AND progressive (SOF2, Annex G
+  spectral selection + successive approximation — the most common web
+  JPEG variant; r6), 8-bit, 1 or 3 components, sampling factors 1-2 in
+  each axis (4:4:4 / 4:2:2 / 4:2:0), restart markers, Huffman tables
+  from the stream. Arithmetic coding, lossless/hierarchical SOFs,
+  12-bit, and CMYK raise NotImplementedError.
+* encode: baseline sequential (grayscale or YCbCr 4:4:4/4:2:0) and
+  progressive (4:4:4, configurable band/approximation scan script),
+  the Annex K example quantization tables with the libjpeg quality
   scaling curve — real files any viewer opens.
 
 The tables below are the spec's own example tables (T.81 Annex K) —
@@ -422,17 +425,290 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — T.81 Annex G: spectral selection +
+# successive approximation. Used for real progressive output AND as the
+# round-trip witness for the progressive decoder (no libjpeg in the
+# container to generate test streams).
+# ---------------------------------------------------------------------------
+
+# Near-flat AC table for progressive scans: every symbol a progressive
+# AC scan can emit — including EOBn (0x10..0xE0), which the Annex K
+# baseline tables lack. 255 codes at length 9 plus one at length 10
+# (DHT's per-length count is a single byte); fills just over half the
+# code space, so no code is all ones. Compression-poor, correctness-exact.
+_AC_PROG = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+class _EobState:
+    """Deferred end-of-band run + the correction bits owed with it."""
+
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _flush_eob(bw: _BitWriter, ac_codes, st: _EobState) -> None:
+    if st.eobrun == 0:
+        return
+    n = st.eobrun.bit_length() - 1
+    code, ln = ac_codes[n << 4]
+    bw.write(code, ln)
+    if n:
+        bw.write(st.eobrun - (1 << n), n)
+    for b in st.pending:
+        bw.write(b, 1)
+    st.eobrun = 0
+    st.pending = []
+
+
+def _ac_first_encode(zz, Ss, Se, Al, ac_codes, bw, st: _EobState) -> None:
+    """First-pass AC band of one block: point-transformed magnitudes,
+    ZRL runs, deferred EOBRUN across all-insignificant blocks."""
+    vals = [
+        (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> Al)
+        for k in range(Ss, Se + 1)
+    ]
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        st.eobrun += 1
+        if st.eobrun == 32767:
+            _flush_eob(bw, ac_codes, st)
+        return
+    _flush_eob(bw, ac_codes, st)
+    run = 0
+    for v in vals[: last + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < len(vals) - 1:
+        st.eobrun += 1
+        if st.eobrun == 32767:
+            _flush_eob(bw, ac_codes, st)
+
+
+def _ac_refine_encode(zz, Ss, Se, Al, ac_codes, bw, st: _EobState) -> None:
+    """Refinement AC band of one block: newly-significant coefficients
+    as (run, 1) + sign, correction bits for already-significant ones
+    attached after the next emitted symbol (or the deferred EOB)."""
+    run = 0
+    pend: list[int] = []
+    for k in range(Ss, Se + 1):
+        t = abs(int(zz[k])) >> Al
+        if t == 0:
+            run += 1
+        elif t > 1:  # significant in an earlier scan: one correction bit
+            pend.append(t & 1)
+        else:  # newly significant at this level
+            _flush_eob(bw, ac_codes, st)
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+                run -= 16
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+            run = 0
+    if run or pend:
+        st.eobrun += 1
+        st.pending.extend(pend)
+        if st.eobrun == 32767:
+            _flush_eob(bw, ac_codes, st)
+
+
+def _sos(scan_comps: list[tuple[int, int]], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cid, tables in scan_comps:
+        body += bytes([cid, tables])
+    body += bytes([Ss, Se, (Ah << 4) | Al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """REAL progressive JPEG bytes (SOF2) from an (h, w) gray or
+    (h, w, 3) RGB uint8 array — T.81 Annex G spectral selection over
+    ``bands`` plus successive approximation down from ``dc_al``/``ac_al``
+    to 0, 4:4:4 sampling, Annex K quantization scaled by ``quality``.
+    Decoding the result equals decoding a baseline encode of the same
+    image at the same tables (identical quantized coefficients; gated in
+    tests). Scan script: interleaved DC first pass, per-component
+    per-band AC first passes, then DC and AC refinement passes."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(
+            "encode_jpeg_progressive takes (h, w) gray or (h, w, 3) RGB"
+        )
+    for s, e in bands:
+        if not (1 <= s <= e <= 63):
+            raise ValueError("bands must lie within [1, 63]")
+    if [s for s, _ in bands] != sorted(s for s, _ in bands):
+        raise ValueError("bands must be ascending")
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    planes = [_pad8(np.clip(np.rint(p), 0, 255)) for p in planes]
+    ncomp = len(planes)
+
+    qt_l = _quality_scale(QUANT_LUMA, quality)[ZIGZAG]
+    qt_c = _quality_scale(QUANT_CHROMA, quality)[ZIGZAG]
+
+    # quantize every block up front: (bh, bw, 64) zigzag-order coefficients
+    coefs = []
+    for ci, p in enumerate(planes):
+        qz = qt_l if ci == 0 else qt_c
+        q = qz[UNZIGZAG].reshape(8, 8).astype(np.float64)
+        ph, pw = p.shape
+        bh, bw_ = ph // 8, pw // 8
+        blocks = (p - 128.0).reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,xyjk,kl->xyil", DCT_M, blocks, DCT_M.T)
+        zz = np.rint(coef / q).astype(np.int64).reshape(bh, bw_, 64)[..., ZIGZAG]
+        coefs.append(zz)
+    bh, bw_ = coefs[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        qt_l.astype(np.uint8)
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qt_c.astype(np.uint8)
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht(0x00, *DC_LUMA)
+    if not gray:
+        out += _dht(0x01, *DC_CHROMA)
+    out += _dht(0x10, *_AC_PROG)
+
+    dc_codes = [
+        _canonical_codes(*(DC_LUMA if ci == 0 else DC_CHROMA))
+        for ci in range(ncomp)
+    ]
+    ac_codes = _canonical_codes(*_AC_PROG)
+
+    def emit(bw: _BitWriter) -> None:
+        out.extend(bw.flush())
+
+    # 1. DC first pass, interleaved (1×1 sampling: MCU = one block/comp)
+    out += _sos(
+        [(cid, ((0 if cid == 1 else 1) << 4) | 0) for cid in range(1, ncomp + 1)],
+        0, 0, 0, dc_al,
+    )
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(ncomp):
+                d = int(coefs[ci][by, bx, 0]) >> dc_al  # arithmetic shift
+                diff = d - preds[ci]
+                preds[ci] = d
+                size = _category(diff)
+                code, ln = dc_codes[ci][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(
+                        diff if diff > 0 else diff + (1 << size) - 1, size
+                    )
+    emit(bw)
+
+    # 2. AC first passes: per component, per spectral band
+    for ci in range(ncomp):
+        for s, e in bands:
+            out += _sos([(ci + 1, 0x00)], s, e, 0, ac_al)
+            bw = _BitWriter()
+            st = _EobState()
+            for by in range(bh):
+                for bx in range(bw_):
+                    _ac_first_encode(
+                        coefs[ci][by, bx], s, e, ac_al, ac_codes, bw, st
+                    )
+            _flush_eob(bw, ac_codes, st)
+            emit(bw)
+
+    # 3. DC refinement passes (bits only, interleaved)
+    for al in range(dc_al - 1, -1, -1):
+        out += _sos(
+            [(cid, 0x00) for cid in range(1, ncomp + 1)], 0, 0, al + 1, al
+        )
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(ncomp):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        emit(bw)
+
+    # 4. AC refinement passes
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for s, e in bands:
+                out += _sos([(ci + 1, 0x00)], s, e, al + 1, al)
+                bw = _BitWriter()
+                st = _EobState()
+                for by in range(bh):
+                    for bx in range(bw_):
+                        _ac_refine_encode(
+                            coefs[ci][by, bx], s, e, al, ac_codes, bw, st
+                        )
+                _flush_eob(bw, ac_codes, st)
+                emit(bw)
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w) gray or (h, w, 3) RGB uint8 from baseline sequential JPEG
-    bytes — Huffman + dequantize + float IDCT + chroma upsampling +
-    JFIF YCbCr→RGB, numpy/stdlib only. Progressive (SOF2), arithmetic,
-    12-bit and CMYK streams raise NotImplementedError naming the
-    boundary. Truncated or corrupt payloads raise ValueError, never a
-    raw IndexError — this codec is dispatched on arbitrary executor-side
-    media bytes and an IndexError surfaces as an opaque task failure."""
+    """(h, w) gray or (h, w, 3) RGB uint8 from baseline sequential OR
+    progressive JPEG bytes — Huffman + dequantize + float IDCT + chroma
+    upsampling + JFIF YCbCr→RGB, numpy/stdlib only; progressive streams
+    accumulate coefficients across scans and IDCT once at EOI.
+    Arithmetic, 12-bit and CMYK streams raise NotImplementedError naming
+    the boundary. Truncated or corrupt payloads raise ValueError, never
+    a raw IndexError — this codec is dispatched on arbitrary
+    executor-side media bytes and an IndexError surfaces as an opaque
+    task failure."""
     try:
         return _decode_jpeg(payload)
     except (IndexError, struct.error) as exc:
@@ -453,6 +729,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     comps = None  # [(cid, h, v, tq)]
     restart = 0
     h = w = 0
+    progressive = False
+    coeffs: dict[int, np.ndarray] = {}
+    dims = None
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -462,6 +741,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xFF:  # fill byte
             pos += 1
             continue
+        if marker == 0xD9 and progressive and coeffs:  # EOI: reconstruct
+            return _reconstruct_progressive(coeffs, comps, qtabs, dims)
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             pos += 2
             continue
@@ -487,7 +768,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG is supported")
@@ -498,11 +780,25 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                  body[7 + 3 * i] & 0x0F, body[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax > 2 or vmax > 2:
+                    raise NotImplementedError(
+                        "sampling factors above 2 are not supported"
+                    )
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                dims = (hmax, vmax, mcux, mcuy, h, w)
+                coeffs = {
+                    cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+                    for cid, ch, cv, _ in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) is supported "
-                "without libjpeg; got SOF marker 0xFF%02X" % marker
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG are "
+                "supported without libjpeg; got SOF marker 0xFF%02X" % marker
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
@@ -512,9 +808,21 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            return _decode_scan(
-                payload, pos, comps, scan, qtabs, huff, restart, h, w
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, comps, scan, qtabs, huff, restart, h, w
+                )
+            band = (
+                body[1 + 2 * ns],          # Ss
+                body[2 + 2 * ns],          # Se
+                body[3 + 2 * ns] >> 4,     # Ah
+                body[3 + 2 * ns] & 0x0F,   # Al
             )
+            pos = _decode_scan_progressive(
+                payload, pos, comps, scan, band, coeffs, huff, restart, dims
+            )
+    if progressive and coeffs:  # EOI missing but scans complete: tolerate
+        return _reconstruct_progressive(coeffs, comps, qtabs, dims)
     raise ValueError("JPEG stream has no SOS segment")
 
 
@@ -585,6 +893,12 @@ def _decode_scan(data, pos, comps, scan, qtabs, huff, restart, h, w):
             # hitting EOI exactly at the end is fine; anything else is not
             raise ValueError("unexpected marker %04x in scan" % m.marker)
 
+    return _assemble(planes, comps, hmax, vmax, h, w)
+
+
+def _assemble(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample subsampled chroma, crop to (h, w), YCbCr→RGB — the shared
+    tail of the sequential and progressive decode paths."""
     out_planes = []
     for cid, ch, cv, _ in comps:
         p = planes[cid]
@@ -600,6 +914,211 @@ def _decode_scan(data, pos, comps, scan, qtabs, huff, restart, h, w):
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
         np.uint8
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G.  Coefficients accumulate
+# across scans (spectral selection + successive approximation); the IDCT
+# runs once at EOI.
+# ---------------------------------------------------------------------------
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips entropy
+    bytes, stuffed 0xFF00, fill 0xFFs and RSTn)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _dc_step(br, table, blk, preds, cid, Ah, Al) -> None:
+    """One block of a progressive DC scan: first pass (Ah=0) codes the
+    point-transformed diff; refinement appends one bit at position Al
+    (two's-complement OR, T.81 G.1.2.1)."""
+    if Ah == 0:
+        if table is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        size = br.huff(table)
+        diff = _extend(br.bits(size), size) if size else 0
+        preds[cid] += diff
+        blk[0] = preds[cid] << Al
+    elif br.bit():
+        blk[0] |= 1 << Al
+
+
+def _ac_first(br, act, blk, Ss, Se, Al, eobrun) -> int:
+    """One block of a first-pass AC scan (G.1.2.2): EOBRUN skips whole
+    blocks; decoded values land at full scale (<< Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = br.huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.bits(r)
+            return eobrun - 1
+        k += r
+        if k > Se:
+            raise ValueError("corrupt JPEG entropy stream")
+        blk[k] = _extend(br.bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, act, blk, Ss, Se, Al, eobrun) -> int:
+    """One block of an AC refinement scan (G.1.2.3): newly-significant
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    passed over consumes one correction bit."""
+    p1, m1 = 1 << Al, -(1 << Al)
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # rest of block is correction-only, below
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG entropy stream")
+                val = p1 if br.bit() else m1
+            while k <= Se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # correction bits for the rest of this block
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(
+    data, pos, comps, scan, band, coeffs, huff, restart, dims
+) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    arrays; returns the stream position of the next marker. Interleaved
+    scans are DC-only MCU order; AC scans are single-component in the
+    component's own block raster (T.81 G.1)."""
+    if comps is None or dims is None:
+        raise ValueError("JPEG SOS before SOF")
+    Ss, Se, Ah, Al = band
+    # T.81 G.1: a progressive DC scan is exactly Ss=Se=0; AC bands lie in
+    # [1, 63]. A baseline-shaped (0, 63) band inside SOF2 would silently
+    # misdecode as DC-only — reject it loudly.
+    if (Ss == 0) != (Se == 0) or Se > 63 or Ss > Se:
+        raise ValueError("invalid progressive scan band (Ss=%d, Se=%d)" % (Ss, Se))
+    hmax, vmax, mcux, mcuy, h, w = dims
+    cmap = {cid: (ch, cv) for cid, ch, cv, _ in comps}
+    br = _BitReader(data, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    eobrun = 0
+    unit = 0
+
+    def _restart_check():
+        nonlocal preds, eobrun
+        m = br.align_to_marker()
+        if not (0xFFD0 <= m <= 0xFFD7):
+            raise ValueError("expected RST marker, got %04x" % m)
+        preds = {cid: 0 for cid in preds}
+        eobrun = 0
+
+    try:
+        if len(scan) > 1:
+            if Ss != 0 or Se != 0:
+                raise ValueError(
+                    "interleaved progressive scan must be DC-only"
+                )
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and unit and unit % restart == 0:
+                        _restart_check()
+                    unit += 1
+                    for cid, tdc, _ in scan:
+                        ch, cv = cmap[cid]
+                        for v in range(cv):
+                            for u in range(ch):
+                                _dc_step(
+                                    br, huff.get((0, tdc)),
+                                    coeffs[cid][my * cv + v, mx * ch + u],
+                                    preds, cid, Ah, Al,
+                                )
+        else:
+            cid, tdc, tac = scan[0]
+            ch, cv = cmap[cid]
+            cw = -(-(w * ch) // hmax)   # component width in samples
+            chh = -(-(h * cv) // vmax)  # component height in samples
+            bwc = -(-cw // 8)           # ... in 8×8 blocks
+            bhc = -(-chh // 8)
+            act = huff.get((1, tac))
+            if Ss != 0 and act is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+            for by in range(bhc):
+                for bx in range(bwc):
+                    if restart and unit and unit % restart == 0:
+                        _restart_check()
+                    unit += 1
+                    blk = coeffs[cid][by, bx]
+                    if Ss == 0:
+                        _dc_step(br, huff.get((0, tdc)), blk, preds, cid, Ah, Al)
+                    elif Ah == 0:
+                        eobrun = _ac_first(br, act, blk, Ss, Se, Al, eobrun)
+                    else:
+                        eobrun = _ac_refine(br, act, blk, Ss, Se, Al, eobrun)
+    except _Marker as m:
+        raise ValueError("unexpected marker %04x in scan" % m.marker)
+    return _skip_to_marker(data, br.pos)
+
+
+def _reconstruct_progressive(coeffs, comps, qtabs, dims) -> np.ndarray:
+    """Dequantize + IDCT every accumulated coefficient block (vectorized
+    over blocks), then the shared upsample/color-convert tail."""
+    hmax, vmax, mcux, mcuy, h, w = dims
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        c = coeffs[cid]  # (bh, bw, 64) in zigzag order
+        if tq not in qtabs:
+            raise ValueError("JPEG scan references missing quant table")
+        de = (c * qtabs[tq][None, None, :])[..., UNZIGZAG].astype(np.float64)
+        bh, bw_ = de.shape[:2]
+        de = de.reshape(bh, bw_, 8, 8)
+        blocks = np.einsum("ij,xyjk,kl->xyil", DCT_M.T, de, DCT_M) + 128.0
+        planes[cid] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    return _assemble(planes, comps, hmax, vmax, h, w)
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:

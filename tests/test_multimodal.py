@@ -79,14 +79,20 @@ def test_real_decode_is_explicit_stub():
     )
     with pytest.raises(NotImplementedError, match="16"):
         _decode_fake_image(bad)
-    # progressive JPEG (SOF2) is outside the baseline decoder's scope
+    # lossless JPEG (SOF3) stays outside the codec's scope...
     from colbert_jl_spark.operators.jpeg import encode_jpeg
 
-    baseline = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
-    sof0 = bytes(baseline).find(b"\xff\xc0")
-    baseline[sof0 + 1] = 0xC2  # rewrite the frame marker to progressive
-    with pytest.raises(NotImplementedError, match="baseline"):
-        _decode_fake_image(bytes(baseline))
+    doctored = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof0 = bytes(doctored).find(b"\xff\xc0")
+    doctored[sof0 + 1] = 0xC3  # rewrite the frame marker to lossless
+    with pytest.raises(NotImplementedError, match="SOF"):
+        _decode_fake_image(bytes(doctored))
+    # ...while SOF2 with a baseline-shaped (0, 63) scan band — an illegal
+    # progressive stream that would silently misdecode as DC-only — is
+    # rejected loudly rather than stubbed (progressive is SUPPORTED now)
+    doctored[sof0 + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive scan band"):
+        _decode_fake_image(bytes(doctored))
 
 
 def test_real_png_roundtrip_and_all_filters():
@@ -273,6 +279,48 @@ def test_real_jpeg_roundtrip_all_modes():
     assert (decode_jpeg_gray(encode_jpeg(rgb, 92)) == want).all()
 
 
+def test_progressive_jpeg_roundtrip_matches_baseline():
+    """Progressive JPEG (SOF2, T.81 Annex G) — VERDICT r5 item 7: the
+    spectral-selection + successive-approximation scans reassemble the
+    EXACT quantized coefficients, so a progressive decode must equal the
+    baseline decode of the same image at the same tables (within one
+    IDCT float-rounding step); a flat image round-trips exactly; deeper
+    and shallower scan scripts (more SA levels, single band, no SA)
+    agree — exercising DC/AC first + refinement passes and EOBRUN."""
+    from colbert_jl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((24, 24), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat, 95)) == flat).all()
+
+    g = np.tile(np.arange(64, dtype=np.uint8) * 4, (40, 1))[:, :48]
+    enc = encode_jpeg_progressive(g, 92)
+    assert b"\xff\xc2" in enc[:256]  # really SOF2, not baseline
+    base = decode_jpeg(encode_jpeg(g, 92))
+    prog = decode_jpeg(enc)
+    assert prog.shape == g.shape
+    assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
+
+    rng = np.random.default_rng(7)
+    rgb = np.zeros((37, 53, 3), np.uint8)
+    rgb[:, :, 0] = np.linspace(0, 255, 53, dtype=np.uint8)
+    rgb[:, :, 1] = np.linspace(255, 0, 37, dtype=np.uint8)[:, None]
+    rgb[:, :, 2] = (rng.integers(0, 64, size=(37, 53)) + 90).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, 92, subsampling="444"))
+    for kwargs in (
+        {},  # default script: two bands, one SA level each
+        {"bands": ((1, 2), (3, 20), (21, 63)), "dc_al": 2, "ac_al": 3},
+        {"bands": ((1, 63),), "dc_al": 0, "ac_al": 0},  # no SA at all
+    ):
+        prog = decode_jpeg(encode_jpeg_progressive(rgb, 92, **kwargs))
+        assert prog.shape == rgb.shape
+        diff = np.abs(prog.astype(int) - base.astype(int)).max()
+        assert diff <= 1, (kwargs, diff)
+
+
 def test_jpeg_corrupt_input_raises_valueerror_never_indexerror():
     """ADVICE r5: the codec is dispatched on arbitrary executor-side
     media bytes, so truncated or bit-flipped payloads must surface as a
@@ -281,24 +329,29 @@ def test_jpeg_corrupt_input_raises_valueerror_never_indexerror():
     task failure — fuzz every truncation point and a byte-flip sweep."""
     from colbert_jl_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
+    from colbert_jl_spark.operators.jpeg import encode_jpeg_progressive
+
     rng = np.random.default_rng(11)
     img = (rng.integers(0, 256, size=(24, 32, 3))).astype(np.uint8)
-    enc = encode_jpeg(img, 90, subsampling="420", restart_interval=2)
-    decode_jpeg(enc)  # sanity: the uncorrupted stream decodes
+    for enc in (
+        encode_jpeg(img, 90, subsampling="420", restart_interval=2),
+        encode_jpeg_progressive(img, 90),  # multi-scan marker structure
+    ):
+        decode_jpeg(enc)  # sanity: the uncorrupted stream decodes
 
-    for cut in range(0, len(enc), max(1, len(enc) // 97)):
-        try:
-            decode_jpeg(enc[:cut])
-        except (ValueError, NotImplementedError):
-            pass  # the only acceptable failure modes
-    for off in range(2, len(enc), max(1, len(enc) // 61)):
-        for flip in (0x01, 0xFF, 0xD8):
-            bad = bytearray(enc)
-            bad[off] ^= flip
+        for cut in range(0, len(enc), max(1, len(enc) // 97)):
             try:
-                decode_jpeg(bytes(bad))
+                decode_jpeg(enc[:cut])
             except (ValueError, NotImplementedError):
-                pass
+                pass  # the only acceptable failure modes
+        for off in range(2, len(enc), max(1, len(enc) // 61)):
+            for flip in (0x01, 0xFF, 0xD8):
+                bad = bytearray(enc)
+                bad[off] ^= flip
+                try:
+                    decode_jpeg(bytes(bad))
+                except (ValueError, NotImplementedError):
+                    pass
 
 
 def test_real_jpeg_decodes_and_resizes_end_to_end(spark):
