@@ -301,6 +301,14 @@ class IndexBuilder:
                 term_df(postings.select("term", "doc_id", "tf")),
                 plan["term_partitions"],
             )
+            # repartition ON the partition column: term_df's output is
+            # hash-partitioned on term, so a bare partitionBy write lands
+            # up to n_tasks files in EVERY bucket dir (the "tasks × dirs"
+            # explosion above). Dictionary rows are one per term —
+            # vocab-scale, bucket-balanced by the hash — so this extra
+            # shuffle is small and every bucket dir gets exactly one file
+            # (validate()'s FILES_PER_BUCKET_CEILING invariant).
+            dic = dic.repartition("term_bucket").sortWithinPartitions("term")
             self._write(
                 dic, os.path.join(self.index_path, "dictionary"), "term_bucket"
             )
@@ -1127,9 +1135,18 @@ class IndexReader:
         blk_counts = self._bucket_file_counts(
             self._stage_dir("blocks_dir", "blocks")
         )
+        dic_counts = self._bucket_file_counts(
+            self._stage_dir("dictionary_dir", "dictionary")
+        )
         report["max_files_per_bucket"] = ceiling
         report["blocks_files_per_bucket_max"] = max(blk_counts.values(), default=0)
-        frag_ok = report["blocks_files_per_bucket_max"] <= ceiling
+        report["dictionary_files_per_bucket_max"] = max(
+            dic_counts.values(), default=0
+        )
+        frag_ok = (
+            report["blocks_files_per_bucket_max"] <= ceiling
+            and report["dictionary_files_per_bucket_max"] <= ceiling
+        )
         if self.plan.get("positions"):
             pos_counts = self._bucket_file_counts(
                 self._stage_dir("positions_dir", "positions")

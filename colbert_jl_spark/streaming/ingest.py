@@ -505,7 +505,9 @@ def compact_streamed_index(
                     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")),
                     tp,
                 )
-                merged.write.mode("overwrite").partitionBy(
+                merged.repartition("term_bucket").sortWithinPartitions(
+                    "term"
+                ).write.mode("overwrite").partitionBy(
                     "term_bucket"
                 ).parquet(new_dir + ".tmp")
                 os.replace(new_dir + ".tmp", new_dir)
@@ -520,7 +522,10 @@ def compact_streamed_index(
                     tp,
                 )
                 tmp = new_dir + ".tmp"
-                merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+                # one file per rewritten bucket (see the blocks delta write)
+                merged.repartition("term_bucket").sortWithinPartitions(
+                    "term"
+                ).write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
                 os.makedirs(new_dir)
                 for entry in os.listdir(cur_dir):
                     if not entry.startswith("term_bucket="):
@@ -549,7 +554,12 @@ def compact_streamed_index(
             )
             if tp:
                 merged = with_term_partition(merged, tp)
-                tmpw = merged.write.mode("overwrite").partitionBy("term_bucket")
+                tmpw = (
+                    merged.repartition("term_bucket")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .partitionBy("term_bucket")
+                )
                 tmpw.parquet(new_dir + ".tmp")
             else:
                 merged.write.mode("overwrite").parquet(new_dir + ".tmp")
