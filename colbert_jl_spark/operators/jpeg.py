@@ -502,35 +502,55 @@ def _ac_first_encode(zz, Ss, Se, Al, ac_codes, bw, st: _EobState) -> None:
 
 def _ac_refine_encode(zz, Ss, Se, Al, ac_codes, bw, st: _EobState) -> None:
     """Refinement AC band of one block: newly-significant coefficients
-    as (run, 1) + sign, correction bits for already-significant ones
-    attached after the next emitted symbol (or the deferred EOB)."""
-    run = 0
-    pend: list[int] = []
-    for k in range(Ss, Se + 1):
-        t = abs(int(zz[k])) >> Al
-        if t == 0:
-            run += 1
-        elif t > 1:  # significant in an earlier scan: one correction bit
-            pend.append(t & 1)
-        else:  # newly significant at this level
-            _flush_eob(bw, ac_codes, st)
-            while run > 15:
-                code, ln = ac_codes[0xF0]
-                bw.write(code, ln)
-                for b in pend:
-                    bw.write(b, 1)
-                pend = []
-                run -= 16
-            code, ln = ac_codes[(run << 4) | 1]
-            bw.write(code, ln)
-            bw.write(1 if int(zz[k]) > 0 else 0, 1)
-            for b in pend:
-                bw.write(b, 1)
-            pend = []
-            run = 0
-    if run or pend:
+    as (run, 1) + sign; correction bits for already-significant ones are
+    emitted exactly where the decoder consumes them — during the symbol
+    whose coefficient walk passes them (a >16-zero run split across
+    ZRLs distributes its interleaved correction bits across those ZRLs,
+    NOT all after the first), with the post-EOB tail deferred into the
+    shared EOBRUN pending buffer."""
+    band = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    eob_pos = -1
+    for i, t in enumerate(band):
+        if t == 1:
+            eob_pos = i
+    if eob_pos < 0:  # no symbols: whole block folds into the EOB run
         st.eobrun += 1
-        st.pending.extend(pend)
+        st.pending.extend(t & 1 for t in band if t > 1)
+        if st.eobrun == 32767:
+            _flush_eob(bw, ac_codes, st)
+        return
+    _flush_eob(bw, ac_codes, st)
+    pos = 0
+    while pos <= eob_pos:
+        j = pos
+        while band[j] != 1:  # next newly-significant coefficient
+            j += 1
+        zeros = sum(1 for i in range(pos, j) if band[i] == 0)
+        while zeros > 15:
+            # one ZRL: the decoder walks until it has passed 16
+            # zero-history coefficients, consuming one correction bit
+            # per already-significant coefficient it passes on the way
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            seen = 0
+            while seen < 16:
+                if band[pos] == 0:
+                    seen += 1
+                elif band[pos] > 1:
+                    bw.write(band[pos] & 1, 1)
+                pos += 1
+            zeros -= 16
+        code, ln = ac_codes[(zeros << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[Ss + j]) > 0 else 0, 1)
+        for i in range(pos, j):
+            if band[i] > 1:
+                bw.write(band[i] & 1, 1)
+        pos = j + 1
+    # tail after the last newly-significant coefficient: EOB territory
+    if pos <= Se - Ss:
+        st.eobrun += 1
+        st.pending.extend(t & 1 for t in band[pos:] if t > 1)
         if st.eobrun == 32767:
             _flush_eob(bw, ac_codes, st)
 
@@ -593,7 +613,11 @@ def encode_jpeg_progressive(
         ph, pw = p.shape
         bh, bw_ = ph // 8, pw // 8
         blocks = (p - 128.0).reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,xyjk,kl->xyil", DCT_M, blocks, DCT_M.T)
+        # stacked matmul, NOT einsum: matmul reduces each 8×8 product with
+        # the same kernel as the baseline encoder's per-block `@`, so the
+        # quantized coefficients are bit-identical to a baseline encode
+        # (einsum's different summation order can flip an np.rint at .5)
+        coef = DCT_M @ blocks @ DCT_M.T
         zz = np.rint(coef / q).astype(np.int64).reshape(bh, bw_, 64)[..., ZIGZAG]
         coefs.append(zz)
     bh, bw_ = coefs[0].shape[:2]
@@ -1116,7 +1140,10 @@ def _reconstruct_progressive(coeffs, comps, qtabs, dims) -> np.ndarray:
         de = (c * qtabs[tq][None, None, :])[..., UNZIGZAG].astype(np.float64)
         bh, bw_ = de.shape[:2]
         de = de.reshape(bh, bw_, 8, 8)
-        blocks = np.einsum("ij,xyjk,kl->xyil", DCT_M.T, de, DCT_M) + 128.0
+        # stacked matmul, NOT einsum — same reduction kernel as the
+        # sequential path's per-block `DCT_M.T @ coef @ DCT_M`, keeping
+        # progressive decode bit-identical to baseline decode
+        blocks = DCT_M.T @ de @ DCT_M + 128.0
         planes[cid] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
     return _assemble(planes, comps, hmax, vmax, h, w)
 

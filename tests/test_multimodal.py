@@ -302,7 +302,7 @@ def test_progressive_jpeg_roundtrip_matches_baseline():
     base = decode_jpeg(encode_jpeg(g, 92))
     prog = decode_jpeg(enc)
     assert prog.shape == g.shape
-    assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
+    assert (prog == base).all()  # bit-identical (same coefficients, same IDCT)
 
     rng = np.random.default_rng(7)
     rgb = np.zeros((37, 53, 3), np.uint8)
@@ -317,8 +317,7 @@ def test_progressive_jpeg_roundtrip_matches_baseline():
     ):
         prog = decode_jpeg(encode_jpeg_progressive(rgb, 92, **kwargs))
         assert prog.shape == rgb.shape
-        diff = np.abs(prog.astype(int) - base.astype(int)).max()
-        assert diff <= 1, (kwargs, diff)
+        assert (prog == base).all(), kwargs  # bit-identical per scan script
 
 
 def test_real_gif_roundtrip_interlace_transparency_animation():
@@ -403,6 +402,68 @@ def test_real_gif_roundtrip_interlace_transparency_animation():
             decode_gif_frames(bytes(bad))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_codec_roundtrip_properties():
+    """Hypothesis sweeps over the two r6 codecs: GIF-LZW round-trips
+    ANY index sequence at ANY palette width, a gray GIF round-trips ANY
+    image exactly, and progressive JPEG decodes bit-identical to the
+    baseline decode for ANY image and scan script — the properties the
+    hand-picked cases above instantiate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from colbert_jl_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_gray,
+        encode_gif,
+    )
+    from colbert_jl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    @given(st.integers(2, 8).flatmap(lambda m: st.tuples(
+        st.just(m),
+        st.lists(st.integers(0, (1 << m) - 1), min_size=0, max_size=4000),
+    )))
+    @settings(max_examples=120, deadline=None)
+    def lzw_prop(case):
+        mcs, seq = case
+        assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
+
+    lzw_prop()
+
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31))
+    @settings(max_examples=40, deadline=None)
+    def gif_prop(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w)
+        ).astype(np.uint8)
+        assert (decode_gif_gray(encode_gif(img)) == img).all()
+
+    gif_prop()
+
+    @given(
+        st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**31),
+        st.sampled_from([
+            {"dc_al": 1, "ac_al": 1},
+            {"bands": ((1, 8), (9, 63)), "dc_al": 2, "ac_al": 2},
+            {"bands": ((1, 63),), "dc_al": 0, "ac_al": 0},
+        ]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def prog_prop(h, w, seed, kwargs):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w)
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 90))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 90, **kwargs))
+        assert (prog == base).all()
+
+    prog_prop()
 
 
 def test_gif_flows_through_shared_operators(spark):
