@@ -89,9 +89,9 @@ def phrase_terms(
         toks = py_tokens(text, None)
         for off, t in enumerate(toks):
             rows.append((int(pid), t, off, len(toks)))
-    return spark.createDataFrame(
-        rows, "pid long, term string, off int, plen int"
-    )
+    from colbert_jl_spark.functions.smalldf import local_df
+
+    return local_df(spark, rows, "pid long, term string, off int, plen int")
 
 
 def _match_starts(pos: DataFrame, pt: DataFrame, anchor=None) -> DataFrame:
@@ -190,9 +190,9 @@ def phrase_matches_from_positions(
     carries the rarest-term doc sets, see _match_starts). Identical
     output to phrase_matches; gated in tests/test_phrase.py."""
     if not any(py_tokens(text, None) for _, text in phrases):
-        return spark.createDataFrame(
-            [], "pid long, doc_id long, n_occurrences long"
-        )
+        from colbert_jl_spark.functions.smalldf import local_df
+
+        return local_df(spark, [], "pid long, doc_id long, n_occurrences long")
     pt = phrase_terms(spark, phrases)
     pos = positions.select(
         "doc_id", "term", F.explode("positions").alias("pos")
@@ -219,7 +219,7 @@ def phrase_matches(
     use IndexReader.phrase() instead (module docstring)."""
     spark = docs.sparkSession
     if not any(py_tokens(text, None) for _, text in phrases):
-        return spark.createDataFrame(
-            [], "pid long, doc_id long, n_occurrences long"
-        )
+        from colbert_jl_spark.functions.smalldf import local_df
+
+        return local_df(spark, [], "pid long, doc_id long, n_occurrences long")
     return _match_starts(token_positions(docs, cfg), phrase_terms(spark, phrases))

@@ -437,14 +437,66 @@ def _refresh_matched_stats(
     return matched
 
 
+def _attach_query_terms_literal(
+    blocks: DataFrame, qt_rows: list[tuple], with_n_terms: bool = False
+) -> DataFrame:
+    """Literal-map replacement for ``blocks ⋈ broadcast(qterms)`` when the
+    query side is driver-known and small (the interactive ≤32-distinct-term
+    case): a ``map<term, array<struct<qid, qtf[, n_terms]>>>`` literal is
+    compiled into the plan and exploded per matching block row — pure
+    whole-stage codegen, NO BroadcastExchange and NO broadcast-build job
+    (a broadcast built even from a LocalRelation still schedules one
+    1-task job per query DAG; measured ~0.1 s of the per-query serving
+    floor). Inner-join semantics are preserved exactly: the caller has
+    already filtered blocks to the query's terms, and an (impossible)
+    missing map key would explode to zero rows just like a join miss.
+
+    ``with_n_terms`` additionally carries each qid's DISTINCT-term count
+    (computed driver-side) — the conjunctive executor's guard — replacing
+    wand_intersect_topk's qn aggregation+join subtree.
+
+    The whole map is rendered as ONE SQL expression string (terms are
+    ``[a-z0-9]+`` by the frozen tokenizer, so no quoting hazards): the
+    column-object formulation costs 2 py4j round trips per literal, which
+    at 30 terms × a few qids is a measurable slice of the ~0.1 s hot-query
+    driver floor; ``F.expr`` is a single round trip parsed JVM-side."""
+    from collections import defaultdict
+
+    per_term: dict[str, list[tuple]] = defaultdict(list)
+    if with_n_terms:
+        n_terms: dict[int, int] = defaultdict(int)
+        for qid, _term, _qtf in qt_rows:
+            n_terms[qid] += 1
+        for qid, term, qtf in qt_rows:
+            per_term[term].append((qid, qtf, n_terms[qid]))
+    else:
+        for qid, term, qtf in qt_rows:
+            per_term[term].append((qid, qtf))
+
+    def entry(vals: tuple) -> str:
+        s = f"named_struct('qid',{int(vals[0])}L,'qtf',{int(vals[1])}L"
+        if with_n_terms:
+            s += f",'n_terms',{int(vals[2])}L"
+        return s + ")"
+
+    map_sql = ",".join(
+        f"'{term}',array({','.join(entry(v) for v in vals)})"
+        for term, vals in per_term.items()
+    )
+    gen = F.expr(f"explode(map({map_sql})[term])").alias("_q")
+    cols = ["_q.qid", "_q.qtf"] + (["_q.n_terms"] if with_n_terms else [])
+    return blocks.select("*", gen).select(*blocks.columns, *cols)
+
+
 def wand_topk(
     blocks: DataFrame,
-    qterms: DataFrame,
+    qterms: DataFrame | None,
     cfg: EngineConfig = EngineConfig(),
     avgdl: float = 1.0,
     k: int | None = None,
     bound_scale: float = 1.0,
     fused: bool = False,
+    qt_literal: list[tuple] | None = None,
 ) -> DataFrame:
     """blocks (codec_blocks.BLOCK_SCHEMA) × qterms (qid, term, qtf) →
     (qid, rank, doc_id, score[rounded 6dp]).
@@ -461,16 +513,40 @@ def wand_topk(
     group then spans the query's whole doc space, ranks are final inside
     the group (_finalize_group), and the ranking-window stage — a full
     extra exchange+sort on a sub-second DAG — disappears. Serving-latency
-    lever; identical output by construction."""
+    lever; identical output by construction.
+
+    ``qt_literal``: the raw (qid, term, qtf) rows when they are known
+    driver-side — the join is then compiled as a literal map attach
+    (_attach_query_terms_literal; no broadcast job), and a SINGLE-query
+    call groups by ``bucket`` alone (qid is constant, so the grouping is
+    identical) — against a bucket-partitioned hot cache that removes the
+    groupBy Exchange from the plan entirely."""
     k = k or cfg.top_k
-    matched = _refresh_matched_stats(
-        blocks.join(F.broadcast(qterms), "term"), qterms, bound_scale
-    )
+    if qt_literal is not None and (
+        qterms is None or "idf_q" not in qterms.columns
+    ):
+        matched = _attach_query_terms_literal(blocks, qt_literal)
+        single_qid = len({r[0] for r in qt_literal}) == 1
+    else:
+        matched = _refresh_matched_stats(
+            blocks.join(F.broadcast(qterms), "term"), qterms, bound_scale
+        )
+        single_qid = False
+    group_cols = ["bucket"] if single_qid else ["qid", "bucket"]
+    if not single_qid:
+        # multi-query: spread (qid, bucket) groups across tasks explicitly.
+        # Without this, a hot cache partitioned by bucket alone (load_hot)
+        # would legally satisfy the grouping and serialize every query's
+        # group for a bucket into one task — correct but a batched-suite
+        # parallelism regression. Cold paths pay the same exchange the
+        # planner would have inserted implicitly; the groupBy below reuses
+        # this partitioning, so there is never a second one.
+        matched = matched.repartition("qid", "bucket")
     # payload decoder is chosen from config, NOT sniffed from bytes — a
     # varint stream can begin with any byte sequence
     decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
     if fused:
-        ranked = matched.groupBy("qid", "bucket").applyInPandas(
+        ranked = matched.groupBy(*group_cols).applyInPandas(
             lambda pdf: _wand_one_group(
                 pdf, k, cfg.k1, cfg.b, avgdl, decoder, emit_rank=True
             ),
@@ -479,7 +555,7 @@ def wand_topk(
         return ranked.select(
             "qid", "rank", "doc_id", F.round("score", 6).alias("score")
         )
-    per_bucket = matched.groupBy("qid", "bucket").applyInPandas(
+    per_bucket = matched.groupBy(*group_cols).applyInPandas(
         lambda pdf: _wand_one_group(pdf, k, cfg.k1, cfg.b, avgdl, decoder),
         WAND_OUT_SCHEMA,
     )
@@ -579,12 +655,13 @@ def _intersect_one_group(
 
 def wand_intersect_topk(
     blocks: DataFrame,
-    qterms: DataFrame,
+    qterms: DataFrame | None,
     cfg: EngineConfig = EngineConfig(),
     avgdl: float = 1.0,
     k: int | None = None,
     bound_scale: float = 1.0,
     fused: bool = False,
+    qt_literal: list[tuple] | None = None,
 ) -> DataFrame:
     """Conjunctive top-k over the block table: same distribution shape as
     wand_topk (broadcast query side, per-(qid, doc-bucket) groups, final
@@ -598,16 +675,30 @@ def wand_intersect_topk(
     (n_terms counts DISTINCT query terms from the raw qterms rows, so the
     overlay column never affects the conjunction guard).
 
-    ``fused``: single-doc-bucket fast path, see wand_topk."""
+    ``fused``: single-doc-bucket fast path, see wand_topk.
+    ``qt_literal``: driver-known query rows — literal map attach carrying
+    the driver-computed n_terms, see wand_topk (the qn aggregation+join
+    subtree disappears with it)."""
     k = k or cfg.top_k
-    qn = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
-    qt = qterms.join(qn, "qid")
-    matched = _refresh_matched_stats(
-        blocks.join(F.broadcast(qt), "term"), qt, bound_scale
-    )
+    if qt_literal is not None and (
+        qterms is None or "idf_q" not in qterms.columns
+    ):
+        matched = _attach_query_terms_literal(blocks, qt_literal, with_n_terms=True)
+        single_qid = len({r[0] for r in qt_literal}) == 1
+    else:
+        qn = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
+        qt = qterms.join(qn, "qid")
+        matched = _refresh_matched_stats(
+            blocks.join(F.broadcast(qt), "term"), qt, bound_scale
+        )
+        single_qid = False
+    group_cols = ["bucket"] if single_qid else ["qid", "bucket"]
+    if not single_qid:
+        # see wand_topk: keep batched groups spread across tasks
+        matched = matched.repartition("qid", "bucket")
     decoder = decode_block_packed if cfg.block_format == "packed" else decode_block
     if fused:
-        ranked = matched.groupBy("qid", "bucket").applyInPandas(
+        ranked = matched.groupBy(*group_cols).applyInPandas(
             lambda pdf: _intersect_one_group(
                 pdf, k, cfg.k1, cfg.b, avgdl, decoder, emit_rank=True
             ),
@@ -616,7 +707,7 @@ def wand_intersect_topk(
         return ranked.select(
             "qid", "rank", "doc_id", F.round("score", 6).alias("score")
         )
-    per_bucket = matched.groupBy("qid", "bucket").applyInPandas(
+    per_bucket = matched.groupBy(*group_cols).applyInPandas(
         lambda pdf: _intersect_one_group(pdf, k, cfg.k1, cfg.b, avgdl, decoder),
         WAND_OUT_SCHEMA,
     )

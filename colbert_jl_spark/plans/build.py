@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from colbert_jl_spark.config import EngineConfig
+from colbert_jl_spark.functions.smalldf import local_df
 
 STAGES = ("postings", "plan", "dictionary", "blocks", "lineage")
 
@@ -654,10 +655,9 @@ class IndexReader:
             for term, qtf in Counter(py_terms(qtext, None, self.cfg.stopwords)).items():
                 qt_rows.append((int(qid), term, int(qtf)))
         if not qt_rows:
-            return self.spark.createDataFrame(
-                [], "qid long, rank int, doc_id long, score double"
+            return local_df(
+                self.spark, [], "qid long, rank int, doc_id long, score double"
             )
-        qt = self.spark.createDataFrame(qt_rows, "qid long, term string, qtf long")
         terms = sorted({t for _, t, _ in qt_rows})
         blocks = self.blocks
         # interactive queries (few distinct terms): an In(term, …) filter
@@ -685,6 +685,20 @@ class IndexReader:
         # entirely (no extra scan on the hot path).
         bound_scale = 1.0
         inc = self.plan.get("incremental")
+        # Interactive case (≤ max_inlist_terms distinct terms, no
+        # incremental idf overlay): the query side stays a driver-side
+        # LITERAL — no qterms DataFrame is even built; the executor
+        # compiles it as a map expression instead of a broadcast join
+        # (wand._attach_query_terms_literal: no broadcast-build job), and
+        # single-query calls group by bucket alone so the
+        # bucket-partitioned hot cache satisfies the grouping with NO
+        # Exchange (load_hot).
+        use_literal = (not inc) and len(terms) <= self.max_inlist_terms
+        qt = (
+            None
+            if use_literal
+            else local_df(self.spark, qt_rows, "qid long, term string, qtf long")
+        )
         if inc:
             dic = self.dictionary
             if buckets is not None and "term_bucket" in dic.columns:
@@ -695,11 +709,14 @@ class IndexReader:
                 "left",
             )
             bound_scale = max(1.0, self.plan["avgdl"] / inc["min_enc_avgdl"])
-        # n_terms for the intersect guard is computed from qt BEFORE the
-        # block join, so zero-df terms still (correctly) empty their query
+        # n_terms for the intersect guard is computed from the RAW query
+        # rows BEFORE the block join, so zero-df terms still (correctly)
+        # empty their conjunctive query — on the literal path the executor
+        # counts them driver-side from qt_rows for the same reason
         return executor(
             blocks, qt, self.cfg, self.plan["avgdl"], k,
             bound_scale=bound_scale, fused=self._single_bucket(),
+            qt_literal=qt_rows if use_literal else None,
         )
 
     def _single_bucket(self) -> bool:
@@ -779,7 +796,7 @@ class IndexReader:
                 qt_rows.append((int(qid), term, int(qtf)))
         out_schema = "qid long, rank int, doc_id long, score double"
         if not qt_rows:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         terms = sorted({t for _, t, _ in qt_rows})
         tp = self.plan.get("term_partitions")
 
@@ -849,7 +866,7 @@ class IndexReader:
             sel = np.lexsort((ids, -r6))[:k]
             for rank, j in enumerate(sel, start=1):
                 rows.append((int(qid), rank, int(ids[j]), float(r6[j])))
-        return self.spark.createDataFrame(rows, out_schema)
+        return local_df(self.spark, rows, out_schema)
 
     def phrase(self, phrases: list[tuple[int, str]]) -> DataFrame:
         """(pid, doc_id, n_occurrences) — exact consecutive-token phrase
@@ -960,7 +977,7 @@ class IndexReader:
                 anchors.append((int(pid), anchor_term))
         if not anchors:
             return None
-        at = self.spark.createDataFrame(anchors, "pid long, term string")
+        at = local_df(self.spark, anchors, "pid long, term string")
         # positions hold ONE row per (term, doc_id) and each pid has ONE
         # anchor term, so this is already distinct — no extra exchange
         anchor_docs = pos.join(F.broadcast(at), "term").select("pid", "doc_id")
@@ -999,7 +1016,7 @@ class IndexReader:
         )
         out_schema = "pid long, doc_id long, n_occurrences long"
         if not terms:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         # the INDEX's persisted stoplist, not self.cfg (the constructor
         # allows a caller-supplied cfg whose stoplist may differ — a term
         # stoplisted AT INDEX TIME has df=0 in the dictionary yet
@@ -1034,13 +1051,13 @@ class IndexReader:
             columns=["pid", "term", "off", "plen"],
         )
         if not len(ppdf) or not len(pt):
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         ex = ppdf.explode("positions").rename(columns={"positions": "pos"})
         m = ex.merge(pt, on="term")
         m["start"] = m["pos"].astype("int64") - m["off"]
         m = m[m["start"] >= 0]
         if not len(m):
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         g = (
             m.groupby(["pid", "plen", "doc_id", "start"])
             .size()
@@ -1050,7 +1067,8 @@ class IndexReader:
         out = (
             g.groupby(["pid", "doc_id"]).size().reset_index(name="n_occurrences")
         )
-        return self.spark.createDataFrame(
+        return local_df(
+            self.spark,
             [
                 (int(r.pid), int(r.doc_id), int(r.n_occurrences))
                 for r in out.itertuples()
@@ -1062,9 +1080,19 @@ class IndexReader:
         """Serving mode: pin the block table in executor memory so repeated
         queries skip the parquet scan — the closest analogue of the
         reference Searcher holding the whole index in RAM
-        (reference src/loaders.jl:91-113), but distributed and optional."""
+        (reference src/loaders.jl:91-113), but distributed and optional.
+
+        The pin is hash-partitioned by ``bucket`` (the doc-range WAND
+        group key): HashPartitioning(bucket) satisfies the executors'
+        ClusteredDistribution for both (qid, bucket) and the single-query
+        bucket-only grouping, so a single-query search() DAG over a hot
+        reader needs NO Exchange at all — scan → literal attach → local
+        sort → FlatMapGroupsInPandas, one stage (multi-query calls keep
+        the (qid, bucket) exchange: one task per bucket would serialize a
+        batched suite's groups). The repartition runs once, at pin time —
+        never on the per-query path."""
         if not hasattr(self, "_hot_blocks"):
-            b = self.blocks.cache()
+            b = self.blocks.repartition("bucket").cache()
             b.count()  # materialize
             self._hot_blocks = b
         return self

@@ -33,10 +33,14 @@ QUERY_SET: list[tuple[int, str]] = [
 def queries_df(spark):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    from colbert_jl_spark.functions.smalldf import local_df
+
     schema = StructType(
         [StructField("qid", LongType()), StructField("query", StringType())]
     )
-    return spark.createDataFrame(QUERY_SET, schema)
+    # LocalRelation-backed (functions/smalldf): collecting the query set —
+    # which every search entry does — must not schedule a Spark job
+    return local_df(spark, QUERY_SET, schema)
 
 
 def queries_sql_values() -> str:
