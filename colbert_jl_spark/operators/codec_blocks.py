@@ -213,6 +213,7 @@ def posting_blocks(
     cfg: EngineConfig = EngineConfig(),
     bucket_size: int | None = None,
     salt: int | None = None,
+    count_obs: tuple | None = None,
 ) -> DataFrame:
     """postings (term, doc_id, tf, doclen) + dictionary (term, df) →
     block table (BLOCK_SCHEMA), varint payload format.
@@ -239,12 +240,21 @@ def posting_blocks(
     encode_fn = encode_block_packed if cfg.block_format == "packed" else encode_block
     encoder = _make_block_encoder(cfg.block_size, avgdl, cfg.k1, cfg.b, encode_fn)
     encoded = rows.groupBy("tid", "bucket").applyInPandas(encoder, _ENC_SCHEMA)
-    return encoded.join(_dict_tid(dictionary, n_docs, salt), "tid").select(
+    if count_obs is not None:
+        # ride-along collision evidence (see plans/build.py blocks stage):
+        # block-row counts before/after the dictionary join, observed
+        # during whatever action the caller runs — equal iff the tid hash
+        # is injective over this vocabulary
+        encoded = encoded.observe(count_obs[0], F.count(F.lit(1)).alias("n"))
+    out = encoded.join(_dict_tid(dictionary, n_docs, salt), "tid").select(
         "term", "df", "idf", "bucket", "block_id",
         "first_docid", "last_docid", "n_docs",
         (F.col("idf") * F.col("max_tf_norm")).alias("max_score"),
         "payload",
     )
+    if count_obs is not None:
+        out = out.observe(count_obs[1], F.count(F.lit(1)).alias("n"))
+    return out
 
 
 COLUMNAR_BLOCK_SCHEMA = (
@@ -262,6 +272,7 @@ def posting_blocks_columnar(
     cfg: EngineConfig = EngineConfig(),
     bucket_size: int | None = None,
     salt: int | None = None,
+    count_obs: tuple | None = None,
 ) -> DataFrame:
     """Columnar block table — the 100% JVM encode path (optional format;
     the measured default is "varint", see config.py block_format).
@@ -329,7 +340,10 @@ def posting_blocks_columnar(
             F.collect_list(F.struct("doc_id", "gap", "tf", "doclen"))
         ).alias("chunk"),
     )
-    return agged.join(_dict_tid(dictionary, n_docs, salt), "tid").select(
+    if count_obs is not None:
+        # ride-along collision evidence — see posting_blocks
+        agged = agged.observe(count_obs[0], F.count(F.lit(1)).alias("n"))
+    out = agged.join(_dict_tid(dictionary, n_docs, salt), "tid").select(
         "term", "df", "idf", "bucket", "block_id",
         "first_docid", "last_docid", "n_docs",
         (F.col("idf") * F.col("max_tf_norm")).alias("max_score"),
@@ -337,6 +351,9 @@ def posting_blocks_columnar(
         F.transform("chunk", lambda x: x["tf"].cast("int")).alias("tfs"),
         F.transform("chunk", lambda x: x["doclen"].cast("int")).alias("doclens"),
     )
+    if count_obs is not None:
+        out = out.observe(count_obs[1], F.count(F.lit(1)).alias("n"))
+    return out
 
 
 def blocks_to_postings(

@@ -78,20 +78,29 @@ def token_position_lists(
     )
 
 
-def phrase_terms(
-    spark: SparkSession, phrases: list[tuple[int, str]]
-) -> DataFrame:
-    """(pid, term, off, plen) — the broadcastable phrase side, tokenized
-    driver-side with the same raw tokenizer (no stoplist, no truncation —
-    queries are short)."""
+def phrase_term_rows(phrases: list[tuple[int, str]]) -> list[tuple]:
+    """(pid, term, off, plen) rows, tokenized driver-side with the same
+    raw tokenizer (no stoplist, no truncation — queries are short)."""
     rows = []
     for pid, text in phrases:
         toks = py_tokens(text, None)
         for off, t in enumerate(toks):
             rows.append((int(pid), t, off, len(toks)))
+    return rows
+
+
+def phrase_terms(
+    spark: SparkSession, phrases: list[tuple[int, str]]
+) -> DataFrame:
+    """(pid, term, off, plen) — the broadcastable phrase side (bulk
+    phrase sets; interactive calls use phrase_term_rows as a literal)."""
     from colbert_jl_spark.functions.smalldf import local_df
 
-    return local_df(spark, rows, "pid long, term string, off int, plen int")
+    return local_df(
+        spark,
+        phrase_term_rows(phrases),
+        "pid long, term string, off int, plen int",
+    )
 
 
 def _match_starts(pos: DataFrame, pt: DataFrame, anchor=None) -> DataFrame:
@@ -120,16 +129,49 @@ def _match_starts(pos: DataFrame, pt: DataFrame, anchor=None) -> DataFrame:
     phrase terms (the anchor included) in the doc, so docs outside the
     anchor's set can never produce a match. Pids without an anchor
     (single-term / all-stopword phrases) bypass the semi-join."""
-    starts = (
-        pos.join(F.broadcast(pt), "term")
-        .select(
-            "pid",
-            "plen",
-            "doc_id",
-            (F.col("pos") - F.col("off")).cast("long").alias("start"),
+    if isinstance(pt, list):
+        # driver-known phrase rows, few distinct terms: compile the
+        # phrase side as a literal map expression (same shape as
+        # wand._attach_query_terms_literal) — no BroadcastExchange and no
+        # broadcast-build job on the hot phrase path. Terms are
+        # [a-z0-9]+ by the frozen tokenizer, so the SQL rendering is
+        # quoting-safe.
+        from collections import defaultdict
+
+        per_term = defaultdict(list)
+        for pid, term, off, plen_v in pt:
+            per_term[term].append((pid, off, plen_v))
+        map_sql = ",".join(
+            "'{}',array({})".format(
+                term,
+                ",".join(
+                    f"named_struct('pid',{p_}L,'off',{o},'plen',{l})"
+                    for p_, o, l in vals
+                ),
+            )
+            for term, vals in per_term.items()
         )
-        .where(F.col("start") >= 0)
-    )
+        matched = pos.select(
+            "doc_id", "pos",
+            F.expr(f"explode(map({map_sql})[term])").alias("_p"),
+        )
+        starts = matched.select(
+            F.col("_p.pid").alias("pid"),
+            F.col("_p.plen").alias("plen"),
+            "doc_id",
+            (F.col("pos") - F.col("_p.off")).cast("long").alias("start"),
+        ).where(F.col("start") >= 0)
+    else:
+        starts = (
+            pos.join(F.broadcast(pt), "term")
+            .select(
+                "pid",
+                "plen",
+                "doc_id",
+                (F.col("pos") - F.col("off")).cast("long").alias("start"),
+            )
+            .where(F.col("start") >= 0)
+        )
     if anchor is not None:
         anchor_docs, anchored_pids, all_anchored = anchor
         pruned = lambda df: df.join(  # noqa: E731
@@ -193,7 +235,9 @@ def phrase_matches_from_positions(
         from colbert_jl_spark.functions.smalldf import local_df
 
         return local_df(spark, [], "pid long, doc_id long, n_occurrences long")
-    pt = phrase_terms(spark, phrases)
+    pt = phrase_term_rows(phrases)
+    if len({t for _, t, _, _ in pt}) > 32:
+        pt = phrase_terms(spark, phrases)  # bulk: broadcast join instead
     pos = positions.select(
         "doc_id", "term", F.explode("positions").alias("pos")
     )
@@ -222,4 +266,7 @@ def phrase_matches(
         from colbert_jl_spark.functions.smalldf import local_df
 
         return local_df(spark, [], "pid long, doc_id long, n_occurrences long")
-    return _match_starts(token_positions(docs, cfg), phrase_terms(spark, phrases))
+    pt = phrase_term_rows(phrases)
+    if len({t for _, t, _, _ in pt}) > 32:
+        pt = phrase_terms(spark, phrases)  # bulk: broadcast join instead
+    return _match_starts(token_positions(docs, cfg), pt)

@@ -172,20 +172,30 @@ class IndexBuilder:
         # -- stage: postings (THE tokenize pass — runs once) ----------------
         postings_dir = os.path.join(self.index_path, "postings")
         n_docs = None
+        n_postings = None
         if "postings" not in _load_stages(self.index_path):
             from pyspark.sql import Observation
 
-            # corpus size observed on the tokenize pass itself (no
-            # separate count job — see the plan stage for why job count
-            # matters); includes all-stopword docs the postings drop
+            # corpus size AND posting-row count observed on the tokenize
+            # pass itself (no separate count jobs — every extra job is a
+            # cluster-wide scheduling barrier; the posting count known
+            # here is what lets the plan and dictionary stages run
+            # CONCURRENTLY below); n_docs includes all-stopword docs the
+            # postings drop
             obs_docs = Observation("corpus_docs")
-            pdl = term_postings_with_doclen(docs, self.cfg, count_obs=obs_docs)
+            obs_rows = Observation("posting_rows")
+            pdl = term_postings_with_doclen(
+                docs, self.cfg, count_obs=obs_docs
+            ).observe(obs_rows, F.count(F.lit(1)).alias("n_postings"))
             self._write(pdl, postings_dir)
             _mark_stage(self.index_path, "postings")
             n_docs = int(obs_docs.get["n_docs"])
+            n_postings = int(obs_rows.get["n_postings"])
 
         return self.finish_from_postings(
-            spark, n_docs_total=docs.count() if n_docs is None else n_docs
+            spark,
+            n_docs_total=docs.count() if n_docs is None else n_docs,
+            n_postings_hint=n_postings,
         )
 
     def finish_from_postings(
@@ -193,6 +203,7 @@ class IndexBuilder:
         spark: SparkSession,
         n_docs_total: int,
         batch_ids: list[int] | None = None,
+        n_postings_hint: int | None = None,
     ) -> dict:
         """Run every stage downstream of the materialized postings table.
 
@@ -221,29 +232,29 @@ class IndexBuilder:
         if batch_ids is not None:
             postings = postings.where(F.col("batch").isin([int(b) for b in batch_ids]))
 
-        # -- stage: plan + docstats (derived; no re-tokenize) ---------------
-        if "plan" not in _load_stages(self.index_path):
+        # -- stages: plan + docstats ∥ dictionary ---------------------------
+        # docstats = distinct (doc_id, doclen) from postings. Docs whose
+        # every token was stoplisted never reach postings; they are
+        # accounted for by n_empty_docs = docs.count() - docstats rows
+        # (a metadata-only count), keeping N/avgdl exact WITHOUT an
+        # anti-join shuffle over the corpus. The docstats aggregate rides
+        # the WRITE action as Observation metrics — no extra count or
+        # re-read jobs (every job is a cluster-wide scheduling barrier,
+        # and in the pinned scaling runs the fixed per-job floors land in
+        # both levels' wall time and compress the measured efficiency).
+        def _run_docstats(obs_n_postings: bool):
             from pyspark.sql import Observation
 
-            # docstats = distinct (doc_id, doclen) from postings. Docs whose
-            # every token was stoplisted never reach postings; they are
-            # accounted for by n_empty_docs = docs.count() - docstats rows
-            # (a metadata-only count), keeping N/avgdl exact WITHOUT an
-            # anti-join shuffle over the corpus.
-            #
-            # Both the posting row count (feeds term_partitions sizing in
-            # the next stage) and the docstats aggregate ride the WRITE
-            # action as Observation metrics — previously one extra count
-            # job + one re-read-and-aggregate job. Three such driver round
-            # trips were removed this round (see also lineage): on a real
-            # cluster every job is a cluster-wide scheduling barrier, and
-            # in the pinned scaling runs the fixed per-job floors land in
-            # both levels' wall time and compress the measured efficiency.
-            obs_post = Observation("postings_total")
             obs_ds = Observation("docstats_agg")
+            seen = postings
+            obs_post = None
+            if obs_n_postings:
+                obs_post = Observation("postings_total")
+                seen = seen.observe(
+                    obs_post, F.count(F.lit(1)).alias("n_postings")
+                )
             seen = (
-                postings.observe(obs_post, F.count(F.lit(1)).alias("n_postings"))
-                .select("doc_id", "doclen")
+                seen.select("doc_id", "doclen")
                 .distinct()
                 .observe(
                     obs_ds,
@@ -253,67 +264,109 @@ class IndexBuilder:
             )
             self._write(seen, os.path.join(self.index_path, "docstats"))
             row = obs_ds.get
-            n_total = n_docs_total
-            n_empty = n_total - row["n"]
-            plan = {
-                "n_docs": n_total,
-                "n_empty_docs": n_empty,
-                "avgdl": (row["tot"] or 0) / n_total if n_total else 0.0,
-                "total_tokens": row["tot"] or 0,
-                "total_postings": int(obs_post.get["n_postings"]),
+            return row["n"], row["tot"] or 0, (
+                int(obs_post.get["n_postings"]) if obs_post else None
+            )
+
+        def _plan_dict(n_seen: int, tot: int, n_postings: int) -> dict:
+            return {
+                "n_docs": n_docs_total,
+                "n_empty_docs": n_docs_total - n_seen,
+                "avgdl": tot / n_docs_total if n_docs_total else 0.0,
+                "total_tokens": tot,
+                "total_postings": int(n_postings),
                 "bucket_size": max(
                     self.cfg.min_bucket_docs,
-                    -(-n_total // self.cfg.num_index_partitions),
+                    -(-n_docs_total // self.cfg.num_index_partitions),
                 ),
                 "config": json.loads(self.cfg.to_json()),
                 "format_version": 1,
             }
-            write_plan(self.index_path, plan)
-            _mark_stage(self.index_path, "plan", {"n_docs": row["n"]})
-        plan = self.plan()
 
-        # -- stage: dictionary ---------------------------------------------
-        if "dictionary" not in _load_stages(self.index_path):
-            # size the term-hash directory partitioning to the data:
-            # ~2M postings per partition dir, clamped. A fixed large count
-            # explodes file counts at small scale (tasks × dirs files);
-            # too small a count kills query-time pruning. Chosen HERE (not
-            # in the blocks stage) because the dictionary shares the same
-            # term_bucket partitioning as the block table; plan.json is
-            # rewritten with the chosen value — the same rewrite-after-
-            # build pattern the reference uses (indexing.jl:125-132).
-            # n_postings == postings row count (one row per (term, doc)) —
-            # observed for free during the plan stage's docstats write;
-            # the count() fallback covers indexes resumed from a pre-r5
-            # partial build whose plan lacks the key.
-            n_postings = plan.get("total_postings")
-            if n_postings is None:
-                n_postings = postings.count()
-                plan["total_postings"] = int(n_postings)
-            plan["term_partitions"] = int(
+        # size the term-hash directory partitioning to the data:
+        # ~2M postings per partition dir, clamped. A fixed large count
+        # explodes file counts at small scale (tasks × dirs files);
+        # too small a count kills query-time pruning. Shared by the
+        # dictionary and block tables; plan.json records the chosen
+        # value — the same rewrite-after-build pattern the reference
+        # uses (indexing.jl:125-132).
+        def _term_partitions_for(n_postings: int) -> int:
+            return int(
                 self.cfg.term_partitions
                 or min(4096, max(4, n_postings // 2_000_000))
             )
-            write_plan(self.index_path, plan)
-            # (term, df, cf) only — NO idf (see module docstring: idf is a
-            # function of the moving N; computing it at read keeps
-            # untouched partitions byte-stable under incremental merges)
+
+        # (term, df, cf) only — NO idf (see module docstring: idf is a
+        # function of the moving N; computing it at read keeps untouched
+        # partitions byte-stable under incremental merges). The
+        # repartition is ON the partition column: term_df's output is
+        # hash-partitioned on term, so a bare partitionBy write would
+        # land up to n_tasks files in EVERY bucket dir. Dictionary rows
+        # are one per term — vocab-scale, bucket-balanced by the hash —
+        # so this extra shuffle is small and every bucket dir gets
+        # exactly one file (validate()'s FILES_PER_BUCKET_CEILING
+        # invariant).
+        def _run_dictionary(term_partitions: int) -> None:
             dic = with_term_partition(
                 term_df(postings.select("term", "doc_id", "tf")),
-                plan["term_partitions"],
+                term_partitions,
             )
-            # repartition ON the partition column: term_df's output is
-            # hash-partitioned on term, so a bare partitionBy write lands
-            # up to n_tasks files in EVERY bucket dir (the "tasks × dirs"
-            # explosion above). Dictionary rows are one per term —
-            # vocab-scale, bucket-balanced by the hash — so this extra
-            # shuffle is small and every bucket dir gets exactly one file
-            # (validate()'s FILES_PER_BUCKET_CEILING invariant).
             dic = dic.repartition("term_bucket").sortWithinPartitions("term")
             self._write(
                 dic, os.path.join(self.index_path, "dictionary"), "term_bucket"
             )
+
+        done = _load_stages(self.index_path)
+        if (
+            "plan" not in done
+            and "dictionary" not in done
+            and n_postings_hint is not None
+        ):
+            # FRESH-BUILD fast path: the postings write already observed
+            # the posting-row count, so the docstats write and the
+            # dictionary shuffle+write share NO data dependency — run
+            # them as two concurrent driver-thread jobs (Spark schedules
+            # both; the later job back-fills executors freed by the
+            # earlier one's tail). Stages are marked only after BOTH
+            # commit, in ledger order — a crash mid-pair re-runs both
+            # idempotent writes on resume.
+            from concurrent.futures import ThreadPoolExecutor
+
+            tp = _term_partitions_for(n_postings_hint)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_ds = pool.submit(_run_docstats, False)
+                fut_dic = pool.submit(_run_dictionary, tp)
+                n_seen, tot, _ = fut_ds.result()
+                fut_dic.result()
+            plan = _plan_dict(n_seen, tot, n_postings_hint)
+            plan["term_partitions"] = tp
+            write_plan(self.index_path, plan)
+            _mark_stage(self.index_path, "plan", {"n_docs": n_seen})
             _mark_stage(self.index_path, "dictionary")
+        else:
+            # resume / streaming-compaction path: sequential stages with
+            # the posting count observed during the docstats write
+            if "plan" not in done:
+                n_seen, tot, n_post = _run_docstats(True)
+                plan = _plan_dict(n_seen, tot, n_post)
+                write_plan(self.index_path, plan)
+                _mark_stage(self.index_path, "plan", {"n_docs": n_seen})
+            plan = self.plan()
+            if "dictionary" not in _load_stages(self.index_path):
+                # n_postings == postings row count (one row per
+                # (term, doc)) — observed during the plan stage's
+                # docstats write; the count() fallback covers indexes
+                # resumed from a pre-r5 partial build whose plan lacks
+                # the key.
+                n_postings = plan.get("total_postings")
+                if n_postings is None:
+                    n_postings = postings.count()
+                    plan["total_postings"] = int(n_postings)
+                plan["term_partitions"] = _term_partitions_for(n_postings)
+                write_plan(self.index_path, plan)
+                _run_dictionary(plan["term_partitions"])
+                _mark_stage(self.index_path, "dictionary")
+        plan = self.plan()
 
         # -- stage: blocks ----------------------------------------------
         if "blocks" not in _load_stages(self.index_path):
@@ -335,6 +388,13 @@ class IndexBuilder:
             # over-splits, so erring high is cheap; restored after the stage.
             prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
             data_sp = max(int(prev_sp), -(-int(n_postings) // 4_000_000))
+            # round UP to a whole number of task waves: 9 encode tasks on
+            # 4 cores run as 3 ragged waves with idle slots in the last —
+            # a pure scaling-efficiency leak at any core count (measured
+            # r7: blocks stage eff 0.73 with the ragged tail). Scale-
+            # adaptive: derived from cores and data size, not a constant.
+            par = max(1, spark.sparkContext.defaultParallelism)
+            data_sp = par * -(-data_sp // par)
             spark.conf.set("spark.sql.shuffle.partitions", str(data_sp))
             # the try opens IMMEDIATELY after conf.set: encode() runs eager
             # Spark jobs (the collision-salt probes) and the plan rewrite can
@@ -348,33 +408,86 @@ class IndexBuilder:
                     if self.cfg.block_format == "columnar"
                     else posting_blocks
                 )
-                # the build driver owns the collision probe (parquet-backed
-                # dictionary, vocab-scale) and passes the verified salt in
+                # tid-collision safety WITHOUT the up-front probe jobs:
+                # the check rides the blocks write itself. Two observed
+                # counts — block rows before and after the dictionary
+                # join — must be EQUAL: any xxhash64(term, salt) collision
+                # makes ≥2 dictionary terms join every block row of the
+                # shared tid, strictly inflating the post-join count (and
+                # the colliding terms' postings would have been merged
+                # into corrupt blocks). On the astronomically rare
+                # mismatch (~1e-4 at web vocab for salt 0) the stage
+                # re-encodes once with an explicitly probed salt.
+                from pyspark.sql import Observation
+
                 from colbert_jl_spark.operators.codec_blocks import (
                     collision_free_tid_salt,
                 )
 
-                blocks = encode(
-                    postings,
-                    dic.select("term", "df"),
-                    plan["n_docs"],
-                    plan["avgdl"],
-                    self.cfg,
-                    bucket_size=plan["bucket_size"],
-                    salt=collision_free_tid_salt(dic),
-                )
-                blocks = with_term_partition(blocks, term_partitions)
-                # NO repartition before the partitionBy write: the encode
-                # output is already (term, bucket)-grouped, so rows of one
-                # term are contiguous within each task and parquet row-group
-                # min/max stats on `term` stay tight; a
-                # repartition("term_bucket") here would add a full shuffle
-                # whose 64-key hash skews badly at high parallelism.
-                self._write(
-                    blocks, os.path.join(self.index_path, "blocks"), "term_bucket"
-                )
+                salt = 0
+                for attempt in range(2):
+                    obs_pre = Observation(f"blocks_pre_join_{attempt}")
+                    obs_join = Observation(f"blocks_post_join_{attempt}")
+                    blocks = encode(
+                        postings,
+                        dic.select("term", "df"),
+                        plan["n_docs"],
+                        plan["avgdl"],
+                        self.cfg,
+                        bucket_size=plan["bucket_size"],
+                        salt=salt,
+                        count_obs=(obs_pre, obs_join),
+                    )
+                    blocks = with_term_partition(blocks, term_partitions)
+                    # NO repartition before the partitionBy write: the
+                    # encode output is already (term, bucket)-grouped, so
+                    # rows of one term are contiguous within each task and
+                    # parquet row-group min/max stats on `term` stay
+                    # tight; a repartition("term_bucket") here would add a
+                    # full shuffle of the entire index whose 64-key hash
+                    # skews badly at high parallelism. The files-per-
+                    # bucket consequence (≈ write tasks per bucket) is
+                    # recorded as the plan's policy below so validate()
+                    # grades the index against what the build actually
+                    # promises.
+                    self._write(
+                        blocks,
+                        os.path.join(self.index_path, "blocks"),
+                        "term_bucket",
+                    )
+                    if int(obs_pre.get["n"]) == int(obs_join.get["n"]):
+                        break
+                    if attempt:  # probed salt still colliding: impossible
+                        raise RuntimeError(
+                            "tid collision persists after salt probe"
+                        )
+                    salt = collision_free_tid_salt(dic)
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            # record the batch write's actual small-file policy (ADVICE
+            # r6): without a per-bucket coalesce the blocks stage lands up
+            # to data_sp files per bucket, so a fresh healthy index built
+            # at high parallelism would otherwise fail validate()'s
+            # default ceiling. Driver-side listdir — bucket count is
+            # ≤4096, never data-scale.
+            observed = 0
+            blocks_dir = os.path.join(self.index_path, "blocks")
+            if os.path.isdir(blocks_dir):
+                for entry in os.listdir(blocks_dir):
+                    if entry.startswith("term_bucket="):
+                        d = os.path.join(blocks_dir, entry)
+                        observed = max(
+                            observed,
+                            sum(
+                                1
+                                for f in os.listdir(d)
+                                if f.startswith("part-")
+                            ),
+                        )
+            plan["max_files_per_bucket"] = max(
+                FILES_PER_BUCKET_CEILING, observed
+            )
+            write_plan(self.index_path, plan)
             _mark_stage(self.index_path, "blocks")
 
         # -- stage: lineage (per doc-bucket build metrics) -------------------
@@ -529,7 +642,7 @@ class IndexReader:
         self._load_plan()
         if hasattr(self, "_n_buckets"):
             del self._n_buckets
-        if hasattr(self, "_hot_blocks"):
+        if hasattr(self, "_hot_blocks") or hasattr(self, "_hot_positions"):
             self.release()
             self.load_hot()
         return self
@@ -569,6 +682,10 @@ class IndexReader:
         if hasattr(self, "_hot_blocks"):
             hot = self._hot_blocks
             del self._hot_blocks
+            hot.unpersist()
+        if hasattr(self, "_hot_positions"):
+            hot = self._hot_positions
+            del self._hot_positions
             hot.unpersist()
         return self
 
@@ -630,10 +747,14 @@ class IndexReader:
         reference also encodes queries driver-side,
         reference src/modelling/checkpoint.jl:271-301) with the python
         mirror of the frozen tokenizer, and term_bucket partition filters
-        are computed with the pure-python xxhash64 clone — so NO Spark job
-        runs before the single query DAG. The (term_bucket, term)
-        IN-filters prune partition DIRECTORIES and parquet row groups —
-        the engine's nprobe analogue (reference ranking.jl:30-36).
+        are computed with the pure-python xxhash64 clone. The
+        (term_bucket, term) IN-filters prune partition DIRECTORIES and
+        parquet row groups — the engine's nprobe analogue (reference
+        ranking.jl:30-36). Terms this reader has never seen cost ONE tiny
+        term_bucket-pruned dictionary lookup first (r7: it feeds the
+        zero-df pruning below and is the same cache search_local's size
+        guard uses); WARM queries run exactly one Spark job — the query
+        DAG itself — and provably-empty queries run none.
 
         ``queries`` may be a DataFrame (qid, query) — collected, it is
         driver data anyway — or a list of (qid, query) pairs.
@@ -654,11 +775,29 @@ class IndexReader:
         for qid, qtext in queries:
             for term, qtf in Counter(py_terms(qtext, None, self.cfg.stopwords)).items():
                 qt_rows.append((int(qid), term, int(qtf)))
+        out_schema = "qid long, rank int, doc_id long, score double"
         if not qt_rows:
-            return local_df(
-                self.spark, [], "qid long, rank int, doc_id long, score double"
-            )
+            return local_df(self.spark, [], out_schema)
         terms = sorted({t for _, t, _ in qt_rows})
+        # zero-df pruning from the driver-side term-stats cache (the same
+        # cache search_local's size guard uses; cache-missed terms cost
+        # ONE term_bucket-pruned dictionary lookup, then repeat queries
+        # run zero auxiliary jobs): a term with df == 0 has no block rows
+        # by construction, so dropping its qt rows is a no-op on the
+        # result — and a query whose terms are ALL absent (or, in
+        # intersect mode, ANY absent: the conjunction guard empties that
+        # qid) returns without scheduling a DAG at all.
+        self._ensure_term_stats(terms)
+        zero = {t for t in terms if self._term_stats[t][0] == 0}
+        if zero:
+            if mode == "intersect":
+                dead = {q for q, t, _ in qt_rows if t in zero}
+                qt_rows = [r for r in qt_rows if r[0] not in dead]
+            else:
+                qt_rows = [r for r in qt_rows if r[1] not in zero]
+            if not qt_rows:
+                return local_df(self.spark, [], out_schema)
+            terms = sorted({t for _, t, _ in qt_rows})
         blocks = self.blocks
         # interactive queries (few distinct terms): an In(term, …) filter
         # pushes into the parquet reader and prunes row groups via min/max
@@ -804,10 +943,10 @@ class IndexReader:
         # fetched in one pruned scan (see docstring); feeds BOTH the size
         # guard and the incremental-index idf freshness overlay
         self._ensure_term_stats(terms)
-        if (
-            sum(self._term_stats[t][0] for t in terms)
-            > self.max_local_postings
-        ):
+        est = sum(self._term_stats[t][0] for t in terms)
+        if est == 0:  # every term absent from the corpus: provably empty
+            return local_df(self.spark, [], out_schema)
+        if est > self.max_local_postings:
             return self.search(queries, k, mode)
 
         blocks = self.blocks.where(F.col("term").isin(terms))
@@ -902,7 +1041,9 @@ class IndexReader:
         terms = sorted(
             {t for _, text in phrases for t in py_tokens(text, None)}
         )
-        pos = self._stage_df("positions_dir", "positions")
+        pos = getattr(self, "_hot_positions", None)
+        if pos is None:
+            pos = self._stage_df("positions_dir", "positions")
         if terms:
             pos = pos.where(F.col("term").isin(terms))
             tp = self.plan.get("term_partitions")
@@ -1032,9 +1173,10 @@ class IndexReader:
         ):
             return self.phrase(phrases)
 
-        pos = self._stage_df("positions_dir", "positions").where(
-            F.col("term").isin(terms)
-        )
+        pos = getattr(self, "_hot_positions", None)
+        if pos is None:
+            pos = self._stage_df("positions_dir", "positions")
+        pos = pos.where(F.col("term").isin(terms))
         tp = self.plan.get("term_partitions")
         if tp:
             buckets = sorted({spark_pmod_hash(t, tp) for t in terms})
@@ -1095,6 +1237,14 @@ class IndexReader:
             b = self.blocks.repartition("bucket").cache()
             b.count()  # materialize
             self._hot_blocks = b
+        # pin the positions stage too when present: a hot phrase query
+        # otherwise pays the positional parquet scan (file listing +
+        # footers) on every call — serving mode assumes the index fits
+        # the cluster's cache tier, exactly like the blocks pin
+        if self.plan.get("positions") and not hasattr(self, "_hot_positions"):
+            pos = self._stage_df("positions_dir", "positions").cache()
+            pos.count()  # materialize
+            self._hot_positions = pos
         return self
 
     @property

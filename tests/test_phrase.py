@@ -56,11 +56,20 @@ def test_token_positions_are_zero_based_raw(spark):
     assert rows == [(0, "the"), (1, "quick"), (2, "the")]
 
 
-def test_phrase_side_broadcasts(spark, docs001):
+def test_phrase_side_never_shuffles_corpus(spark, docs001):
+    """The phrase side must never force a shuffle of the positional
+    stream. r7: for interactive phrase sets (≤32 distinct terms) the
+    phrase side is compiled as a literal map expression (a Generate node,
+    no join operator at all — and no broadcast-build job); bulk sets fall
+    back to a broadcast hash join. Either way: no SortMerge/ShuffledHash
+    join."""
     plan = phrase_matches(
         docs001, [(0, "data table")],
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # interactive path: literal map attach, no join and no broadcast
+    assert "Generate explode(map(" in plan, plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_phrase_matching_is_single_shuffle(spark, docs001):
