@@ -190,31 +190,36 @@ def test_batched_search_avoids_giant_term_inlist(spark, docs001, tmp_path):
     """A 200-query batch must NOT compile a 200-entry In(term, …) filter
     into every block scan (VERDICT r2 item 6): above the inlist threshold
     the broadcast join is the term filter, while term_bucket directory
-    pruning (an IN over at most term_partitions ints) must survive."""
+    pruning (an IN over at most term_partitions ints) must survive.
+
+    r7: the batch's terms must EXIST in the corpus — zero-df terms are
+    now pruned driver-side and an all-absent batch legally returns a
+    no-DAG LocalRelation, so the giant-batch plan shape needs a corpus
+    with a wide real vocabulary (docs001 has only 29 terms)."""
     from colbert_jl_spark.functions.hashing import spark_pmod_hash
 
     idx = str(tmp_path / "idx")
     cfg = EngineConfig(block_size=32)
-    IndexBuilder(idx, cfg).build(docs001)
+    vocab = [f"batchterm{i}" for i in range(500)]
+    wide = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "doc_id long, text string"
+    )
+    IndexBuilder(idx, cfg).build(wide)
     reader = IndexReader(spark, idx)
     tp = reader.plan["term_partitions"]
-    # 200 distinct single-term queries constrained to HALF the buckets so
-    # directory pruning is observable (and meaningful) in the plan
+    # 200 distinct single-term IN-VOCABULARY queries constrained to HALF
+    # the buckets so directory pruning is observable (and meaningful)
     keep = set(range(max(1, tp // 2)))
-    terms, i = [], 0
-    while len(terms) < 200:
-        t = f"batchterm{i}"
-        i += 1
-        if spark_pmod_hash(t, tp) in keep:
-            terms.append(t)
+    terms = [t for t in vocab if spark_pmod_hash(t, tp) in keep][:200]
+    assert len(terms) == 200, f"only {len(terms)} terms hash into {keep}"
     out = reader.search([(j, t) for j, t in enumerate(terms)])
     plan = _formatted(out)
     assert "In(term," not in plan, "giant term IN list leaked into the scan"
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("term_bucket" in l and "IN" in l.upper() for l in scan_lines), plan
     # the small-query path still pushes the term filter (the interactive
-    # fast path is unchanged)
-    small = reader.search([(0, "data table")])
+    # fast path is unchanged); in-vocabulary terms, same reason as above
+    small = reader.search([(0, f"{vocab[0]} {vocab[1]}")])
     assert "In(term," in _formatted(small)
 
 
