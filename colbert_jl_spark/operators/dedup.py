@@ -136,9 +136,13 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 _N_PERM = 64
 _BANDS = 16  # 16 bands x 4 rows
+# the permutation-family seed: pinned into persistent dedup state
+# (streaming/dedup_state.py) — drift would silently stop old band tables
+# colliding with new waves
+_PERM_SEED = 42
 
 
-def _perm_params(n_perm: int = _N_PERM, seed: int = 42) -> list[tuple[int, int]]:
+def _perm_params(n_perm: int = _N_PERM, seed: int = _PERM_SEED) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
