@@ -589,6 +589,21 @@ def encode_jpeg_progressive(
             raise ValueError("bands must lie within [1, 63]")
     if [s for s, _ in bands] != sorted(s for s, _ in bands):
         raise ValueError("bands must be ascending")
+    # ADVICE r6: the bands must tile [1, 63] exactly — a gap silently
+    # drops AC coefficients (breaking the decodes-equal-to-baseline
+    # contract) and an overlap emits a second Ah=0 first pass over
+    # already-coded coefficients, a spec-illegal stream
+    if (
+        not bands
+        or bands[0][0] != 1
+        or bands[-1][1] != 63
+        or any(
+            bands[i][0] != bands[i - 1][1] + 1 for i in range(1, len(bands))
+        )
+    ):
+        raise ValueError(
+            "bands must cover 1..63 contiguously with no gaps or overlaps"
+        )
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]

@@ -148,6 +148,12 @@ def _load_compact_state(index_path: str) -> dict | None:
         return None
 
 
+# how long an invalidated positions dir survives as positions.trash.N
+# before reclamation (ADVICE r6: bounds the window in which an in-flight
+# scan that resolved a just-superseded plan may still be reading it)
+POSITIONS_TRASH_GRACE_SEC = 300.0
+
+
 def _save_compact_state(index_path: str, state: dict) -> None:
     tmp = _compact_state_file(index_path) + ".tmp"
     with open(tmp, "w") as f:
@@ -195,34 +201,57 @@ def _invalidate_positions(index_path: str, plan: dict | None = None) -> None:
         plan.pop("positions_dir", None)
         if changed:
             write_plan(index_path, plan)  # readers now refuse loudly
-    # GC order (ADVICE r5): delete only trash from EARLIER invalidations
-    # (a full cycle old — no reader can still hold it via any plan);
+    # GC order (ADVICE r5): delete only trash from EARLIER invalidations;
     # every LIVE version dir — the committed current AND the retained
     # previous version — is renamed aside as positions.trash.N instead
     # of rmtree'd, so an in-flight scan that resolved either version
     # through a just-superseded plan keeps reading via its open handles,
     # honoring the {current, previous} retention contract stated on
-    # IndexReader. The trash is reclaimed by the next invalidation or
-    # major compaction.
+    # IndexReader.
+    #
+    # ADVICE r6: "a cycle old" had no TIME bound — two invalidations in
+    # quick succession could reclaim the first one's trash under a reader
+    # mid-scan. Trash reclamation is now AGE-GATED: each trash dir is
+    # touched at rename time (rename preserves content mtime, so the
+    # touch stamps the trashing moment) and only dirs older than
+    # POSITIONS_TRASH_GRACE_SEC are removed; younger ones survive and
+    # numbering continues past them.
     import shutil
+    import time as _time
 
+    now = _time.time()
+    live_trash_ids = []
     for entry in os.listdir(index_path):
         if entry.startswith("positions.trash"):
-            shutil.rmtree(os.path.join(index_path, entry), ignore_errors=True)
-    trash_n = 0
+            p = os.path.join(index_path, entry)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                age = POSITIONS_TRASH_GRACE_SEC + 1.0
+            if age > POSITIONS_TRASH_GRACE_SEC:
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    live_trash_ids.append(int(entry.rsplit(".", 1)[1]))
+                except ValueError:
+                    pass
+    trash_n = 1 + max(live_trash_ids, default=-1)
+
+    def _trash(src: str) -> None:
+        nonlocal trash_n
+        dst = os.path.join(index_path, f"positions.trash.{trash_n}")
+        os.rename(src, dst)
+        os.utime(dst, None)  # stamp the trashing moment for the age gate
+        trash_n += 1
+
     cur_dir = os.path.join(index_path, committed)
     if os.path.isdir(cur_dir):
-        os.rename(cur_dir, os.path.join(index_path, "positions.trash.0"))
-        trash_n = 1
+        _trash(cur_dir)
     for entry in sorted(os.listdir(index_path)):
         if entry.endswith(".tmp"):
             continue
         if entry == "positions" or entry.startswith("positions.v"):
-            os.rename(
-                os.path.join(index_path, entry),
-                os.path.join(index_path, f"positions.trash.{trash_n}"),
-            )
-            trash_n += 1
+            _trash(os.path.join(index_path, entry))
 
 
 def _gc_positions_dirs(index_path: str, keep: set) -> None:

@@ -560,3 +560,24 @@ def test_real_jpeg_decodes_and_resizes_end_to_end(spark):
     yi = (np.arange(4) * 12 // 4).astype(int)
     xi = (np.arange(4) * 9 // 4).astype(int)
     assert (arr == gray[np.ix_(yi, xi)]).all()
+
+
+def test_progressive_bands_must_tile_1_63():
+    """ADVICE r6: a gapped band list silently drops AC coefficients and an
+    overlapping one emits a spec-illegal duplicate first pass — both must
+    be rejected up front."""
+    import numpy as np
+    import pytest
+
+    from colbert_jl_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    for bad in (
+        ((1, 5), (7, 63)),   # gap: 6 never coded
+        ((1, 8), (8, 63)),   # overlap: 8 coded twice
+        ((2, 63),),          # does not start at 1
+        ((1, 60),),          # does not end at 63
+        (),                  # empty
+    ):
+        with pytest.raises(ValueError, match="contiguous|bands"):
+            encode_jpeg_progressive(img, 90, bands=bad)

@@ -976,3 +976,40 @@ def test_invalidate_positions_moves_previous_version_aside(
         )
     assert not os.path.exists(os.path.join(idx, "positions"))
     assert not os.path.exists(os.path.join(idx, "positions.v2"))
+
+
+def test_positions_trash_reclamation_is_age_gated(spark, docs001, tmp_path):
+    """ADVICE r6: two invalidations in quick succession must NOT reclaim
+    the first invalidation's trash (a reader may still be mid-scan on
+    it) — only trash older than POSITIONS_TRASH_GRACE_SEC goes; younger
+    dirs survive and the numbering continues past them."""
+    from colbert_jl_spark.plans.build import IndexBuilder
+    from colbert_jl_spark.streaming import ingest
+    from colbert_jl_spark.streaming.ingest import _invalidate_positions
+
+    cfg = EngineConfig(block_size=32)
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(idx, cfg)
+    builder.build(docs001)
+    builder.build_positions(docs001)
+
+    _invalidate_positions(idx)
+    t0 = os.path.join(idx, "positions.trash.0")
+    assert os.path.isdir(t0)
+
+    # second invalidation IMMEDIATELY after: trash.0 is seconds old and
+    # must survive; the fresh positions dir lands as trash.1
+    builder.build_positions(docs001)
+    _invalidate_positions(idx)
+    t1 = os.path.join(idx, "positions.trash.1")
+    assert os.path.isdir(t0), "young trash was reclaimed under a reader"
+    assert os.path.isdir(t1)
+
+    # age both past the grace period: the next invalidation reclaims them
+    past = os.path.getmtime(t0) - ingest.POSITIONS_TRASH_GRACE_SEC - 60
+    for t in (t0, t1):
+        os.utime(t, (past, past))
+    builder.build_positions(docs001)
+    _invalidate_positions(idx)
+    assert os.path.isdir(t0)  # numbering restarted: the NEW trash
+    assert not os.path.exists(t1)
